@@ -1,0 +1,170 @@
+"""The TARGET-VAE ELBO: one implementation of the three inference modes.
+
+The reference duplicates this logic across four training scripts
+(train_mnist.py:26-294, train_particles.py:28-343, train_dsprites.py,
+train_galaxy.py); here it is a single pure function over (params, batch, key).
+
+Modes (SURVEY.md section 2.5):
+  A  unimodal x unimodal       — reparameterized draw from one Gaussian whose
+     leading dims encode (theta, dx); closed-form KLs.
+  B  attention x unimodal      — spatial attention over translations; Gumbel
+     sample picks a cell; moments are attention-weighted; discrete+conditional KL.
+  C  attention x attention     — joint posterior over the R x H' x W' grid
+     (TARGET-VAE proper), optionally with group rotation offsets.
+
+Everything is static-shaped and jit-resident: the attention-cell coordinate
+grids and translation priors are trace-time numpy constants (the reference
+rebuilds them on host every minibatch, train_mnist.py:112-121) and the
+posterior math runs in float32 regardless of the conv compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.encoders import encoder_apply, attn_dim_for
+from ..models.generator import generator_apply
+from ..ops.coords import attention_grid, transform_coords
+from ..ops.kl import normal_kl, guarded_moments
+from ..utils.config import ModelConfig
+from .likelihoods import reconstruction_log_prob
+
+_EPS = 1e-6
+
+
+def _translation_log_prior(grid: np.ndarray) -> np.ndarray:
+    """log p(t) over attention cells: log-softmaxed N(0, 0.1) density
+    (reference train_mnist.py:168-171). grid: (M, 2) -> (M,)."""
+    std = 0.1
+    lp = (-0.5 * np.log(2 * np.pi) - np.log(std)
+          - 0.5 * (grid / std) ** 2).sum(axis=1)
+    lp = lp - (np.max(lp) + np.log(np.sum(np.exp(lp - np.max(lp)))))
+    return lp.astype(np.float32)
+
+
+def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
+                 y: jnp.ndarray, key: jax.Array,
+                 ctf: Optional[jnp.ndarray] = None,
+                 compute_dtype: Optional[jnp.dtype] = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns scalar (elbo, log_p_x_g_z, kl_div), batch means.
+
+    x_coord: (N, 2) base pixel coordinates; y: (B, H, W, C) images.
+    """
+    ecfg, gcfg, lcfg = cfg.encoder, cfg.generator, cfg.likelihood
+    b = y.shape[0]
+    btw = 2.0 / (ecfg.image_dim - 1)
+    k_enc, k_z, k_theta = jax.random.split(key, 3)
+
+    enc = encoder_apply(params["encoder"], ecfg, y, k_enc,
+                        compute_dtype=compute_dtype)
+
+    if ecfg.mode == "A":
+        z_mu, z_logstd = enc["z_mu"], enc["z_logstd"]
+        z_std = jnp.exp(z_logstd)
+        r = jax.random.normal(k_z, z_mu.shape, dtype=z_mu.dtype)
+        zfull = z_std * r + z_mu
+
+        theta = zfull[:, 0]
+        sigma = ecfg.theta_prior
+        kl_theta = (-z_logstd[:, 0] + np.log(sigma)
+                    + (z_std[:, 0] ** 2 + z_mu[:, 0] ** 2) / (2 * sigma ** 2) - 0.5)
+        dx = zfull[:, 1:3] * 0.1  # dx_scale (reference train_mnist.py:62-66)
+        z = zfull[:, 3:]
+        # unit-normal KL over translations AND content (reference :82-83)
+        rest_logstd, rest_std, rest_mu = z_logstd[:, 1:], z_std[:, 1:], z_mu[:, 1:]
+        z_kl = -rest_logstd + 0.5 * rest_std ** 2 + 0.5 * rest_mu ** 2 - 0.5
+        kl_div = jnp.mean(kl_theta + jnp.sum(z_kl, axis=1))
+
+        x_t = transform_coords(x_coord, dx, theta)
+
+    elif ecfg.mode == "B":
+        attn = enc["attn"].astype(jnp.float32)                    # (B, H', W')
+        a_s = enc["a_sampled"].reshape(b, -1)                     # (B, M)
+        ad = attn.shape[1]
+        grid = jnp.asarray(attention_grid(ad, ecfg.image_dim))    # (M, 2)
+
+        z_mu = enc["z_mu"].reshape(b, -1, ecfg.z_dim)             # (B, M, zd)
+        z_std = jnp.exp(enc["z_logstd"]).reshape(b, -1, ecfg.z_dim) + _EPS
+        z_mu_e = jnp.einsum("bmz,bm->bz", z_mu, a_s)
+        z_std_e = jnp.einsum("bmz,bm->bz", z_std, a_s)
+        z = z_std_e * jax.random.normal(k_z, z_mu_e.shape) + z_mu_e
+
+        dx = jnp.einsum("mj,bm->bj", grid, a_s)
+
+        th_mu = enc["theta_mu"].reshape(b, -1)
+        th_std = jnp.exp(enc["theta_logstd"]).reshape(b, -1) + _EPS
+        th_mu_e = jnp.einsum("bm,bm->b", th_mu, a_s)
+        th_std_e = jnp.einsum("bm,bm->b", th_std, a_s)
+        theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
+
+        x_t = transform_coords(x_coord, dx, theta)
+
+        q_t = jax.nn.log_softmax(attn.reshape(b, -1), axis=1)     # (B, M)
+        zg_mu, zg_std = guarded_moments(q_t[..., None], z_mu, z_std)
+        tg_mu, tg_std = guarded_moments(q_t, th_mu, th_std)
+
+        p_t = jnp.asarray(_translation_log_prior(np.asarray(attention_grid(ad, ecfg.image_dim))))
+        val1 = jnp.sum(jnp.exp(q_t) * (q_t - p_t), axis=1)
+        kl_z = jnp.sum(normal_kl(zg_mu, zg_std, 0.0, 1.0), axis=-1)
+        kl_th = normal_kl(tg_mu, tg_std, 0.0, ecfg.theta_prior)
+        val2 = jnp.sum(jnp.exp(q_t) * (kl_th + kl_z), axis=1)
+        kl_div = jnp.mean(val1 + val2)
+
+    else:  # mode C
+        R = ecfg.groupconv
+        q = enc["q"].astype(jnp.float32)                          # (B,H',W',R)
+        a_s4 = enc["a_sampled"]                                   # (B,H',W',R)
+        a_s = a_s4.reshape(b, -1)                                 # over H'W'R cells
+        a_locs = jnp.sum(a_s4, axis=3).reshape(b, -1)             # (B, M)
+        ad = q.shape[1]
+        grid = jnp.asarray(attention_grid(ad, ecfg.image_dim))    # (M, 2)
+
+        z_mu = enc["z_mu"].reshape(b, -1, ecfg.z_dim)             # (B, H'W'R, zd)
+        z_std = jnp.exp(enc["z_logstd"]).reshape(b, -1, ecfg.z_dim) + _EPS
+        z_mu_e = jnp.einsum("bmz,bm->bz", z_mu, a_s)
+        z_std_e = jnp.einsum("bmz,bm->bz", z_std, a_s)
+        z = z_std_e * jax.random.normal(k_z, z_mu_e.shape) + z_mu_e
+
+        dx = jnp.einsum("mj,bm->bj", grid, a_locs)
+
+        th_mu = enc["theta_mu"].reshape(b, -1)                    # offsets included
+        th_std = jnp.exp(enc["theta_logstd"]).reshape(b, -1) + _EPS
+        th_mu_e = jnp.einsum("bm,bm->b", th_mu, a_s)
+        th_std_e = jnp.einsum("bm,bm->b", th_std, a_s)
+        theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
+
+        x_t = transform_coords(x_coord, dx, theta)
+
+        # joint prior p(t, r) = log_softmax(p_t + p_r) over all cells
+        # (layout: (H, W, R) flattened; p_r varies along the R-minor axis)
+        p_t = _translation_log_prior(np.asarray(attention_grid(ad, ecfg.image_dim)))
+        p_tr_flat = (jnp.asarray(p_t)[:, None] + enc["p_r"]).reshape(-1)
+        p_tr_flat = jax.nn.log_softmax(p_tr_flat)
+        qf = q.reshape(b, -1)
+        val1 = jnp.sum(jnp.exp(qf) * (qf - p_tr_flat), axis=1)
+
+        zq_mu, zq_std = guarded_moments(qf[..., None], z_mu, z_std)
+        tq_mu, tq_std = guarded_moments(qf, th_mu, th_std)
+        kl_z = jnp.sum(normal_kl(zq_mu, zq_std, 0.0, 1.0), axis=-1)  # (B, HWR)
+
+        sig_r = np.pi / R if R >= 1 else ecfg.theta_prior
+        offs = enc["offsets"]                                     # (R,)
+        offs_cells = jnp.tile(offs, ad * ad)                      # (HWR,) R-minor
+        kl_th = normal_kl(tq_mu, tq_std, offs_cells, sig_r)
+        val2 = jnp.sum(jnp.exp(qf) * (kl_th + kl_z), axis=1)
+        kl_div = jnp.mean(val1 + val2)
+
+    # ---- reconstruction ----
+    y_hat = generator_apply(params["generator"], gcfg, x_t, z if gcfg.z_dim > 0 else None,
+                            compute_dtype=compute_dtype)
+    log_p = reconstruction_log_prob(
+        y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
+        dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw)
+
+    elbo = log_p - kl_div
+    return elbo, log_p, kl_div

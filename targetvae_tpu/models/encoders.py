@@ -1,0 +1,213 @@
+"""The three inference networks (encoders) of TARGET-VAE.
+
+Reference: src/models.py:229-403. Mode A is a plain MLP producing a unimodal
+Gaussian posterior; mode B adds spatial attention over translations; mode C —
+the TARGET-VAE encoder — lifts the image onto the rotation group with a group
+conv and produces a joint posterior over the translation x rotation grid.
+
+TPU-first layout: activations are channels-last with the 128-kernel axis
+innermost, (B, H', W', R, K), so every 1x1x1 "conv" head is a single matmul
+whose contraction rides the 128-lane MXU axis; the three heads are fused into
+one matmul by concatenating their weights at apply time. The joint posterior
+(log-softmax over R*H'*W') and the Gumbel sample are computed in float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.groupconv import conv2d, lifted_conv2d
+from ..ops.gumbel import gumbel_softmax
+from ..utils.config import EncoderConfig
+from ..utils.initializers import conv2d_init, groupconv_init, linear_init
+
+
+def _act(name: str):
+    if name == "tanh":
+        return jnp.tanh
+    return lambda x: jax.nn.leaky_relu(x, 0.01)
+
+
+def group_offsets(R: int) -> np.ndarray:
+    """Group rotation offsets for P4/P8/P16, wrapped to (-pi, pi] with +pi kept.
+
+    Matches the explicit tables at reference src/models.py:362-366.
+    """
+    ang = 2.0 * np.pi * np.arange(R) / R
+    ang = np.where(ang > np.pi + 1e-9, ang - 2.0 * np.pi, ang)
+    return ang.astype(np.float32)
+
+
+def rotation_log_prior(cfg: EncoderConfig, R: int) -> np.ndarray:
+    """log p(r), shape (R,). Reference src/models.py:368-379."""
+    if cfg.rot_refinement:
+        offs = group_offsets(R)
+        if cfg.normal_prior_over_r:
+            sig = cfg.theta_prior
+            return (-0.5 * np.log(2 * np.pi) - np.log(sig)
+                    - 0.5 * (offs / sig) ** 2).astype(np.float32)
+        # Uniform(-2pi, 2pi).log_prob
+        return np.full(R, -np.log(4 * np.pi), dtype=np.float32)
+    return np.full(R, -np.log(R), dtype=np.float32)
+
+
+def attn_dim_for(cfg: EncoderConfig) -> int:
+    """Spatial size of the attention map."""
+    n = cfg.image_dim
+    if cfg.mode == "C":
+        return n + 2 * cfg.padding - cfg.kernels_size + 1
+    # mode B: kernel = n, padding = n//2 (src/models.py:283, :290)
+    return n + 2 * (n // 2) - n + 1
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def encoder_init(key: jax.Array, cfg: EncoderConfig) -> dict:
+    if cfg.mode == "C" and cfg.groupconv not in (4, 8, 16):
+        raise ValueError(
+            "attention rotation inference (t_inf=attention, r_inf=attention*) "
+            f"requires groupconv in (4, 8, 16), got {cfg.groupconv}")
+    if cfg.mode == "B" and cfg.groupconv not in (0, 4, 8, 16):
+        raise ValueError(f"groupconv must be 0, 4, 8 or 16, got {cfg.groupconv}")
+    keys = jax.random.split(key, 8)
+    zd = cfg.z_dim
+    kn = cfg.kernels_num
+
+    if cfg.mode == "A":
+        # MLP on the flattened image -> 2*(z_dim+3) (src/models.py:229-260)
+        latent = zd + 3
+        n = cfg.image_dim * cfg.image_dim * cfg.in_channels
+        hidden = kn  # reference passes encoder_kernel_number as hidden_dim
+        layers = [linear_init(keys[0], n, hidden)]
+        for i in range(1, cfg.num_layers):
+            layers.append(linear_init(keys[i], hidden, hidden))
+        layers.append(linear_init(keys[cfg.num_layers], hidden, 2 * latent))
+        return {"layers": layers}
+
+    if cfg.mode == "B":
+        n = cfg.image_dim
+        p: dict = {}
+        if cfg.groupconv == 0:
+            p["conv1"] = conv2d_init(keys[0], cfg.in_channels, kn, n)
+        else:
+            p["conv1"] = groupconv_init(keys[0], cfg.in_channels, kn, n)
+            p["fc_r"] = linear_init(keys[1], cfg.groupconv, 1)
+        p["conv2"] = linear_init(keys[2], kn, kn)
+        p["conv_a"] = linear_init(keys[3], kn, 1)
+        p["conv_r"] = linear_init(keys[4], kn, 2)
+        p["conv_z"] = linear_init(keys[5], kn, 2 * zd)
+        return p
+
+    # mode C
+    p = {
+        "conv1": groupconv_init(keys[0], cfg.in_channels, kn, cfg.kernels_size),
+        "conv2": linear_init(keys[1], kn, kn),
+        "conv_a": linear_init(keys[2], kn, 1),
+        "conv_r": linear_init(keys[3], kn, 2),
+        "conv_z": linear_init(keys[4], kn, 2 * zd),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
+    """One matmul for conv_a/conv_r/conv_z (all 1x1 convs over the K axis)."""
+    w = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
+                         params["conv_z"]["w"]], axis=1)
+    b = jnp.concatenate([params["conv_a"]["b"], params["conv_r"]["b"],
+                         params["conv_z"]["b"]])
+    out = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+    attn = out[..., 0]
+    theta_mu = out[..., 1]
+    theta_logstd = out[..., 2]
+    z_mu = out[..., 3:3 + zd]
+    z_logstd = out[..., 3 + zd:]
+    return attn, theta_mu, theta_logstd, z_mu, z_logstd
+
+
+def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
+                  key: Optional[jax.Array],
+                  compute_dtype: Optional[jnp.dtype] = None) -> dict:
+    """y: (B, H, W, C) channels-last image batch. key: PRNG for the Gumbel
+    sample (None disables sampling, e.g. for clustering/eval embedding).
+    """
+    act = _act(cfg.activation)
+    zd = cfg.z_dim
+    b = y.shape[0]
+
+    if cfg.mode == "A":
+        h = y.reshape(b, -1)
+        layers = params["layers"]
+        for layer in layers[:-1]:
+            h = act(jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
+                    + layer["b"])
+        out = jnp.dot(h, layers[-1]["w"],
+                      preferred_element_type=jnp.float32) + layers[-1]["b"]
+        latent = zd + 3
+        return {"z_mu": out[:, :latent], "z_logstd": out[:, latent:]}
+
+    if cfg.mode == "B":
+        n = cfg.image_dim
+        if cfg.groupconv == 0:
+            x = act(conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
+                           padding=n // 2, compute_dtype=compute_dtype))
+        else:
+            lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
+                                     R=cfg.groupconv, padding=n // 2,
+                                     compute_dtype=compute_dtype))
+            # learned rotation collapse fc_r: Linear(R, 1) (src/models.py:292,303-304)
+            x = jnp.einsum("bhwrk,r->bhwk", lift, params["fc_r"]["w"][:, 0],
+                           preferred_element_type=jnp.float32)
+            x = x + params["fc_r"]["b"]
+        h = act(jnp.dot(x, params["conv2"]["w"],
+                        preferred_element_type=jnp.float32) + params["conv2"]["b"])
+        attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(params, h, zd)
+        out = {
+            "attn": attn,  # (B, H', W') logits
+            "theta_mu": theta_mu, "theta_logstd": theta_logstd,
+            "z_mu": z_mu, "z_logstd": z_logstd,
+        }
+        if key is not None:
+            a = gumbel_softmax(key, attn.reshape(b, -1).astype(jnp.float32))
+            out["a_sampled"] = a.reshape(attn.shape)
+        return out
+
+    # ---- mode C: the TARGET-VAE encoder (src/models.py:354-403) ----
+    R = cfg.groupconv
+    lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
+                             R=R, padding=cfg.padding,
+                             compute_dtype=compute_dtype))          # (B,H',W',R,K)
+    h = act(jnp.dot(lift, params["conv2"]["w"],
+                    preferred_element_type=jnp.float32) + params["conv2"]["b"])
+    attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(params, h, zd)
+
+    p_r = jnp.asarray(rotation_log_prior(cfg, R))                   # (R,)
+    attn = attn.astype(jnp.float32) + p_r                           # broadcast over R
+    flat = attn.reshape(b, -1)
+    q = jax.nn.log_softmax(flat, axis=-1).reshape(attn.shape)       # (B,H',W',R)
+
+    if cfg.rot_refinement:
+        offsets = jnp.asarray(group_offsets(R))
+        theta_mu = theta_mu + offsets                                # (..., R)
+    else:
+        offsets = jnp.zeros((R,), dtype=jnp.float32)
+
+    out = {
+        "attn": attn, "q": q, "p_r": p_r, "offsets": offsets,
+        "theta_mu": theta_mu, "theta_logstd": theta_logstd,
+        "z_mu": z_mu, "z_logstd": z_logstd,
+    }
+    if key is not None:
+        a = gumbel_softmax(key, flat)
+        out["a_sampled"] = a.reshape(attn.shape)
+    return out
