@@ -25,6 +25,13 @@ def import_reference_module(name):
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib
+    import types
+    # torchvision is not installed here; the reference only uses it for MNIST
+    # download inside main(), which the tests never call
+    if "torchvision" not in sys.modules:
+        stub = types.ModuleType("torchvision")
+        stub.datasets = types.ModuleType("torchvision.datasets")
+        sys.modules["torchvision"] = stub
     return importlib.import_module(name)
 
 
