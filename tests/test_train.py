@@ -1,0 +1,128 @@
+"""Training harness: Trainer scan-epochs, schedules, checkpoint round-trip."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from targetvae_tpu.models import TargetVAE
+from targetvae_tpu.train import (
+    EarlyStopping, ReduceLROnPlateau, Trainer, fit, RunLogger,
+    load_checkpoint, save_checkpoint, run_dir_name,
+    set_learning_rate, get_learning_rate)
+from targetvae_tpu.utils.config import (
+    EncoderConfig, GeneratorConfig, LikelihoodConfig, ModelConfig, TrainConfig)
+
+
+def small_model():
+    return TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=2),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=2, groupconv=4),
+        LikelihoodConfig()))
+
+
+def blob_data(n, d=12, seed=0):
+    rng = np.random.RandomState(seed)
+    ys = np.zeros((n, d, d, 1), np.float32)
+    for i in range(n):
+        cx, cy = rng.randint(3, d - 3, 2)
+        ys[i, cy - 2:cy + 2, cx - 2:cx + 2, 0] = 1.0
+    return jnp.asarray(ys)
+
+
+def test_trainer_elbo_improves():
+    model = small_model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=16,
+                                         seed=0))
+    state = trainer.init_state(0)
+    data = blob_data(48)
+    first = None
+    for _ in range(6):
+        state, (elbo, gen_loss, kl) = trainer.train_epoch(state, data)
+        if first is None:
+            first = elbo
+    assert elbo > first + 1.0, (first, elbo)
+    assert int(state.step) == 6 * 3  # 48/16 = 3 batches per epoch
+
+
+def test_trainer_partial_batch():
+    model = small_model()
+    trainer = Trainer(model, TrainConfig(minibatch_size=20))
+    state = trainer.init_state(0)
+    data = blob_data(50)  # 2 full batches + tail of 10
+    state, metrics = trainer.train_epoch(state, data)
+    assert int(state.step) == 3
+    ev = trainer.eval_epoch(state, data)
+    assert all(np.isfinite(v) for v in ev)
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    s = ReduceLROnPlateau(1.0, mode="max", factor=0.5, patience=2,
+                          threshold=1e-4)
+    lrs = []
+    for m in [1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0]:
+        lrs.append(s.step(m))
+    # first 1.0 sets best; three non-improving -> cut at the 4th value
+    assert lrs[:4] == [1.0, 1.0, 1.0, 0.5]
+    # 2.0 improves (resets); then two bad epochs tolerated, cut on third
+    assert lrs[4:] == [0.5, 0.5, 0.5, 0.25]
+
+
+def test_early_stopping_counter():
+    saves = []
+    es = EarlyStopping(patience=2, delta=1e-4, save_fn=lambda: saves.append(1))
+    es(10.0)
+    assert saves == [1]
+    es(10.0)   # not improved by > delta
+    es(10.00005)
+    assert es.early_stop
+    assert len(saves) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = small_model()
+    params = model.init(jax.random.key(0))
+    path = os.path.join(tmp_path, "ck.sav")
+    save_checkpoint(path, params, model.cfg, step=7)
+    p2, cfg2, payload = load_checkpoint(path)
+    assert payload["step"] == 7
+    assert cfg2 == model.cfg
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_set_learning_rate():
+    model = small_model()
+    trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
+    state = trainer.init_state(0)
+    assert abs(get_learning_rate(state) - 2e-4) < 1e-9
+    state = set_learning_rate(state, 1e-4)
+    assert abs(get_learning_rate(state) - 1e-4) < 1e-9
+    # state still usable for stepping
+    state, m = trainer.train_epoch(state, blob_data(20))
+    assert np.isfinite(m[0])
+
+
+def test_fit_smoke(tmp_path):
+    model = small_model()
+    tc = TrainConfig(learning_rate=1e-3, minibatch_size=16, num_epochs=3,
+                     save_interval=2)
+    name = run_dir_name("blobs", 2, "attention", "attention+offsets", 4,
+                        timestamp="test")
+    logger = RunLogger(str(tmp_path), name, args_repr="test args")
+    state = fit(model, tc, logger, blob_data(32), blob_data(16, seed=1))
+    logger.close()
+    run = os.path.join(tmp_path, name)
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert "Epoch\tSplit\tELBO\tError\tKL" in log
+    assert "\ttrain\t" in log and "\ttest\t" in log
+    # best-model checkpoints written by EarlyStopping save_fn
+    assert os.path.exists(os.path.join(run, "inference.sav"))
+    assert os.path.exists(os.path.join(run, "generator.sav"))
+    # periodic snapshot at epoch 2
+    assert os.path.exists(os.path.join(run, "inference_epoch2.sav"))
