@@ -1,0 +1,132 @@
+"""Shared CLI plumbing: argparse groups with the reference's exact flag names
+and defaults (SURVEY.md section 5 config row), and config construction."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+from ..utils.config import (
+    EncoderConfig, GeneratorConfig, LikelihoodConfig, ModelConfig, TrainConfig,
+    fourier_sigma_for)
+
+
+def add_model_args(parser: argparse.ArgumentParser, *, kernel_size: int,
+                   padding: int, in_channels: int = 1,
+                   image_dim: Optional[int] = None,
+                   generator_num_layers: int = 2) -> None:
+    parser.add_argument("-z", "--z-dim", type=int, default=2,
+                        help="latent variable dimension (default: 2)")
+    parser.add_argument("--t-inf", default="attention",
+                        choices=["unimodal", "attention"],
+                        help="unimodal | attention (default: attention)")
+    parser.add_argument("--r-inf", default="attention+offsets",
+                        choices=["unimodal", "attention", "attention+offsets"],
+                        help="unimodal | attention | attention+offsets "
+                             "(default: attention+offsets)")
+    parser.add_argument("--groupconv", type=int, default=8,
+                        choices=[0, 4, 8, 16], help="0 | 4 | 8 | 16 (default:8)")
+    parser.add_argument("--encoder-num-layers", type=int, default=2,
+                        help="number of hidden layers in the inference model "
+                             "when the translation and rotation inference are "
+                             "unimodal (default:2)")
+    parser.add_argument("--encoder-kernel-number", type=int, default=128,
+                        help="number of kernels in each layer of the encoder "
+                             "(default: 128)")
+    parser.add_argument("--encoder-kernel-size", type=int, default=kernel_size,
+                        help=f"size of kernels in the first layer of the "
+                             f"encoder (default: {kernel_size})")
+    parser.add_argument("--encoder-padding", type=int, default=padding,
+                        help=f"amount of the padding for the encoder "
+                             f"(default: {padding})")
+    parser.add_argument("--in-channels", type=int, default=in_channels,
+                        help=f"number of channels in the images "
+                             f"(default:{in_channels})")
+    if image_dim is not None:
+        parser.add_argument("--image-dim", type=int, default=image_dim,
+                            help=f"input image of the shape image_dim x "
+                                 f"image_dim (default:{image_dim})")
+    parser.add_argument("--fourier-expansion", action="store_true",
+                        help="using random fourier feature expansion in "
+                             "generator")
+    parser.add_argument("--generator-hidden-dim", type=int, default=512,
+                        help="dimension of hidden layers (default: 512)")
+    parser.add_argument("--generator-num-layers", type=int,
+                        default=generator_num_layers,
+                        help=f"number of hidden layers "
+                             f"(default: {generator_num_layers})")
+    parser.add_argument("--generator-resid-layers", action="store_true",
+                        help="using skip connections in generator")
+    parser.add_argument("--activation", choices=["tanh", "leakyrelu"],
+                        default="leakyrelu",
+                        help="activation function (default: leakyrelu)")
+
+
+def add_train_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("-l", "--learning-rate", type=float, default=2e-4,
+                        help="learning rate (default: 2e-4)")
+    parser.add_argument("--minibatch-size", type=int, default=100,
+                        help="minibatch size (default: 100)")
+    parser.add_argument("--log-root", default="./training_logs",
+                        help="path prefix to save models "
+                             "(default:./training_logs)")
+    parser.add_argument("--save-interval", default=20, type=int,
+                        help="save frequency in epochs (default: 20)")
+    parser.add_argument("--num-epochs", type=int, default=500,
+                        help="number of training epochs (default: 500)")
+    parser.add_argument("-d", "--device", type=int, default=0,
+                        help="compute device to use (default:0)")
+    # TPU-framework extensions (not in the reference)
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="matmul/conv compute dtype (default: float32)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed (default: 0)")
+
+
+def select_device(device_index: int) -> None:
+    """-1 -> CPU; otherwise the i-th accelerator if present."""
+    import jax
+    if device_index == -1:
+        jax.config.update("jax_platforms", "cpu")
+        return
+    devs = jax.devices()
+    if 0 <= device_index < len(devs):
+        jax.config.update("jax_default_device", devs[device_index])
+    print(f"# using device: {jax.devices()[0]}", file=sys.stderr)
+
+
+def model_config_from_args(args, image_dim: int, n_out: int,
+                           likelihood: LikelihoodConfig,
+                           theta_prior: float,
+                           normal_prior_over_r: bool,
+                           fourier_sigma: Optional[float] = None) -> ModelConfig:
+    if fourier_sigma is None:
+        fourier_sigma = fourier_sigma_for(image_dim)
+    gen = GeneratorConfig(
+        z_dim=args.z_dim, hidden_dim=args.generator_hidden_dim, n_out=n_out,
+        num_layers=args.generator_num_layers, activation=args.activation,
+        resid=args.generator_resid_layers,
+        fourier_expansion=args.fourier_expansion, fourier_sigma=fourier_sigma)
+    enc = EncoderConfig(
+        t_inf=args.t_inf, r_inf=args.r_inf, image_dim=image_dim,
+        in_channels=args.in_channels,
+        # unimodal x unimodal infers (theta, dx, z) jointly: z_dim + 3
+        # (reference train_mnist.py:552)
+        z_dim=args.z_dim, kernels_num=args.encoder_kernel_number,
+        kernels_size=args.encoder_kernel_size, padding=args.encoder_padding,
+        num_layers=args.encoder_num_layers, activation=args.activation,
+        groupconv=args.groupconv, theta_prior=theta_prior,
+        normal_prior_over_r=normal_prior_over_r)
+    return ModelConfig(generator=gen, encoder=enc, likelihood=likelihood)
+
+
+def train_config_from_args(args, **overrides) -> TrainConfig:
+    return TrainConfig(
+        learning_rate=args.learning_rate, minibatch_size=args.minibatch_size,
+        num_epochs=args.num_epochs, save_interval=args.save_interval,
+        log_root=args.log_root, seed=getattr(args, "seed", 0),
+        compute_dtype=(None if args.compute_dtype == "float32"
+                       else args.compute_dtype),
+        **overrides)

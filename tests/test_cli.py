@@ -1,0 +1,124 @@
+"""End-to-end CLI tests: fabricate tiny datasets, run the train CLIs through
+their argparse surface, then the clustering CLIs on the produced checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+from targetvae_tpu.cli import (train_mnist, train_dsprites, train_galaxy,
+                               train_particles, clustering_mnist,
+                               clustering_particles)
+from targetvae_tpu.data import mrc
+
+
+def _blobs(n, d, channels=1, seed=0, binary=True):
+    rng = np.random.RandomState(seed)
+    ys = np.zeros((n, d, d) if channels == 1 else (n, d, d, channels),
+                  np.float32)
+    for i in range(n):
+        cx, cy = rng.randint(3, d - 3, 2)
+        if channels == 1:
+            ys[i, cy - 2:cy + 2, cx - 2:cx + 2] = 255.0
+        else:
+            ys[i, cy - 2:cy + 2, cx - 2:cx + 2, :] = 255.0
+    return ys.astype(np.uint8) if binary else ys
+
+
+COMMON = ["--z-dim", "2", "--groupconv", "4", "--encoder-kernel-number", "16",
+          "--encoder-kernel-size", "8", "--encoder-padding", "2",
+          "--generator-hidden-dim", "32", "--num-epochs", "2",
+          "--minibatch-size", "25", "-d", "-1"]
+
+
+def test_train_and_cluster_mnist(tmp_path):
+    d = 14
+    data_root = tmp_path / "data"
+    (data_root / "mnist_U").mkdir(parents=True)
+    np.save(data_root / "mnist_U" / "images_train.npy", _blobs(50, d))
+    np.save(data_root / "mnist_U" / "images_test.npy", _blobs(100, d, seed=1))
+    np.save(data_root / "mnist_U" / "transforms_test.npy",
+            np.random.RandomState(2).randn(100, 3).astype(np.float32))
+    np.save(data_root / "mnist_test.npy", _blobs(100, d, seed=1))
+    labels = np.random.RandomState(3).randint(0, 10, 100)
+    np.save(data_root / "labels.npy", labels)
+
+    log_root = str(tmp_path / "logs")
+    train_mnist.main(["--dataset", "mnist-U", "--image-dim", str(d),
+                      "--data-root", str(data_root), "--log-root", log_root]
+                     + COMMON)
+
+    runs = os.listdir(log_root)
+    assert len(runs) == 1
+    run = os.path.join(log_root, runs[0])
+    assert os.path.exists(os.path.join(run, "inference.sav"))
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert log.count("\ttrain\t") == 2 and log.count("\ttest\t") == 2
+
+    clustering_mnist.main([
+        "--dataset", "mnist-U", "--image-dim", str(d),
+        "--data-root", str(data_root),
+        "--path-to-encoder", os.path.join(run, "inference.sav"),
+        "--path-to-labels", str(data_root / "labels.npy"),
+        "-d", "-1"])
+    results = open(os.path.join(run, "results.txt")).read()
+    assert "accuracy for clustering" in results
+    assert "circular correlation" in results
+    assert os.path.exists(os.path.join(run, "tsne.jpg"))
+    assert os.path.exists(os.path.join(run, "confusion_matrix.jpg"))
+
+
+def test_train_and_cluster_particles(tmp_path):
+    d = 14
+    stack = np.random.RandomState(0).randn(60, d, d).astype(np.float32)
+    mrc.write(str(tmp_path / "stack.mrcs"), stack)
+    ctf_rows = ["1.5 2.7 300 1.2 100 10 0 0"] * 60
+    (tmp_path / "ctf.txt").write_text("\n".join(ctf_rows))
+
+    log_root = str(tmp_path / "logs")
+    train_particles.main(["--train-path", str(tmp_path / "stack.mrcs"),
+                          "--ctf-train", str(tmp_path / "ctf.txt"),
+                          "--train-portion", "0.75",
+                          "--mask-radius", "5", "--fit-noise",
+                          "--log-root", log_root] + COMMON)
+    runs = os.listdir(log_root)
+    run = os.path.join(log_root, runs[0])
+    assert "_ctf" in runs[0]
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert "\ttrain\t" in log and "nan" not in log
+
+    clustering_particles.main([
+        "--test-path", str(tmp_path / "stack.mrcs"),
+        "--path-to-encoder", os.path.join(run, "inference.sav"),
+        "--n-clusters", "3", "-d", "-1"])
+    assert os.path.exists(os.path.join(run, "cluster_assignments.npy"))
+    assert os.path.exists(os.path.join(run, "rotation_hist.jpg"))
+
+
+def test_train_dsprites_smoke(tmp_path):
+    d = 14
+    np.save(tmp_path / "train.npy", (_blobs(40, d) > 0).astype(np.uint8))
+    np.save(tmp_path / "test.npy", (_blobs(20, d, seed=1) > 0).astype(np.uint8))
+    log_root = str(tmp_path / "logs")
+    train_dsprites.main(["--train-path", str(tmp_path / "train.npy"),
+                         "--test-path", str(tmp_path / "test.npy"),
+                         "--image-dim", str(d), "--log-root", log_root,
+                         "--num-epochs", "1"] + COMMON[:-4] + ["-d", "-1",
+                         "--minibatch-size", "20"])
+    runs = os.listdir(log_root)
+    assert any("dsprites" in r for r in runs)
+
+
+def test_train_galaxy_smoke(tmp_path):
+    d = 14
+    np.save(tmp_path / "train.npy", _blobs(40, d, channels=3))
+    np.save(tmp_path / "test.npy", _blobs(20, d, channels=3, seed=1))
+    log_root = str(tmp_path / "logs")
+    train_galaxy.main(["--train-path", str(tmp_path / "train.npy"),
+                       "--test-path", str(tmp_path / "test.npy"),
+                       "--image-dim", str(d), "--log-root", log_root,
+                       "--num-epochs", "1"] + COMMON[:-4] + ["-d", "-1",
+                       "--minibatch-size", "20"])
+    runs = os.listdir(log_root)
+    run = os.path.join(log_root, runs[0])
+    assert os.path.exists(os.path.join(run, "generator.sav"))
