@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark: flagship MNIST-U P8 TARGET-VAE training throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Config matches BASELINE.json configs[1]: image_dim 50, z=2, P8 group conv,
+t-inf attention, r-inf attention+offsets, --fourier-expansion, minibatch 100,
+full training step (forward ELBO + backward + Adam update).
+
+vs_baseline compares against the PyTorch reference implementation executing
+the same config on this host's CPU (the only hardware the reference can run
+on here), cached in BASELINE_MEASURED.json; see BENCH_NOTES.md.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def measure_tpu(batch: int = 100, steps: int = 30) -> float:
+    from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.utils.config import TrainConfig
+    from __graft_entry__ import _flagship_config
+
+    model = TargetVAE(_flagship_config())
+    trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
+    state = trainer.init_state(0)
+    y = jax.random.uniform(jax.random.key(1), (batch, 50, 50, 1))
+
+    state, m = trainer._train_step(state, y)   # compile + warmup
+    jax.device_get(m)
+    t0 = time.time()
+    for _ in range(steps):
+        state, m = trainer._train_step(state, y)
+    jax.device_get(m)
+    dt = (time.time() - t0) / steps
+    return batch / dt
+
+
+def load_baseline() -> float:
+    path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["pytorch_reference_cpu_images_per_sec"]
+    return 0.0
+
+
+def main():
+    ips = measure_tpu()
+    baseline = load_baseline()
+    out = {
+        "metric": "images/sec/chip, MNIST-U P8 attention+offsets train step "
+                  "(fwd+bwd+Adam, batch 100, TPU v5e)",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

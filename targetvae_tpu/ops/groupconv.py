@@ -29,19 +29,35 @@ def conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = No
     returns (B, H', W', out).
     """
     rhs = jnp.transpose(weight, (2, 3, 1, 0))  # (k, k, in, out)
+    y = _conv(x, rhs, stride, padding, compute_dtype)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _conv(x, rhs, stride, padding, compute_dtype, groups: int = 1):
+    """conv_general_dilated with mixed-precision handling.
+
+    With a low-precision compute dtype, inputs AND output are cast (the MXU
+    still accumulates in f32 internally); asking for an f32 output via
+    preferred_element_type would break the autodiff transpose rule, which
+    feeds the f32 cotangent back into a bf16 conv.
+    """
+    kwargs = {}
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         rhs = rhs.astype(compute_dtype)
+    else:
+        kwargs["preferred_element_type"] = jnp.float32
     y = jax.lax.conv_general_dilated(
         x, rhs,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        feature_group_count=groups,
+        **kwargs,
     )
-    if bias is not None:
-        y = y + bias
-    return y
+    return y.astype(jnp.float32)
 
 
 def lifted_conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray],
@@ -58,16 +74,7 @@ def lifted_conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarra
     out, cin, rot_in, k, _ = weight.shape
     rot = rotate_filter_bank(weight, R)  # (R, out, in, rot_in, k, k)
     rhs = jnp.transpose(rot, (4, 5, 2, 3, 0, 1)).reshape(k, k, cin * rot_in, R * out)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        rhs = rhs.astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, rhs,
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    y = _conv(x, rhs, stride, padding, compute_dtype)
     b_, hp, wp, _ = y.shape
     y = y.reshape(b_, hp, wp, R, out)
     if bias is not None:
