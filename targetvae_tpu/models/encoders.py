@@ -15,6 +15,7 @@ one matmul by concatenating their weights at apply time. The joint posterior
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import numpy as np
@@ -23,8 +24,16 @@ import jax.numpy as jnp
 
 from ..ops.groupconv import conv2d, lifted_conv2d
 from ..ops.gumbel import gumbel_softmax
+from ..ops.rotate import rotate_filter_bank
 from ..utils.config import EncoderConfig
 from ..utils.initializers import conv2d_init, groupconv_init, linear_init
+
+
+def _use_encoder_kernel(cfg: EncoderConfig, compute_dtype) -> bool:
+    if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
+        return False
+    return (compute_dtype == jnp.bfloat16 and cfg.mode == "C"
+            and cfg.in_channels == 1 and jax.default_backend() == "tpu")
 
 
 def _act(name: str):
@@ -120,6 +129,41 @@ def encoder_init(key: jax.Array, cfg: EncoderConfig) -> dict:
 # apply
 # ---------------------------------------------------------------------------
 
+def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
+    """Mode-C forward through the fused Pallas encoder kernel."""
+    from ..kernels.lifted_encoder import fused_lifted_encoder
+
+    R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
+                    cfg.padding)
+    zd = cfg.z_dim
+    D = 3 + 2 * zd
+    hp = attn_dim_for(cfg)
+    b = y.shape[0]
+
+    w1 = params["conv1"]["w"]                       # (K, 1, 1, k, k)
+    rot = rotate_filter_bank(w1, R)                 # (R, K, 1, 1, k, k)
+    wc = jnp.transpose(rot, (4, 5, 2, 3, 0, 1)).reshape(k * k, R * K)
+    bc_vec = jnp.tile(params["conv1"]["b"], R)      # r-major: index r*K+o
+
+    wh = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
+                          params["conv_z"]["w"]], axis=1)
+    bh = jnp.concatenate([params["conv_a"]["b"], params["conv_r"]["b"],
+                          params["conv_z"]["b"]])
+
+    xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+    out = fused_lifted_encoder(
+        xp, wc, bc_vec, params["conv2"]["w"], params["conv2"]["b"], wh, bh,
+        k=k, wp=hp, hp=hp, R=R, K=K, act_kind=cfg.activation)
+    out = out[..., :hp * hp].reshape(b, R, D, hp, hp)
+    out = jnp.transpose(out, (0, 3, 4, 1, 2))        # (B, H', W', R, D)
+    attn = out[..., 0]
+    theta_mu = out[..., 1]
+    theta_logstd = out[..., 2]
+    z_mu = out[..., 3:3 + zd]
+    z_logstd = out[..., 3 + zd:]
+    return attn, theta_mu, theta_logstd, z_mu, z_logstd
+
+
 def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
     """One matmul for conv_a/conv_r/conv_z (all 1x1 convs over the K axis)."""
     w = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
@@ -184,12 +228,18 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
 
     # ---- mode C: the TARGET-VAE encoder (src/models.py:354-403) ----
     R = cfg.groupconv
-    lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
-                             R=R, padding=cfg.padding,
-                             compute_dtype=compute_dtype))          # (B,H',W',R,K)
-    h = act(jnp.dot(lift, params["conv2"]["w"],
-                    preferred_element_type=jnp.float32) + params["conv2"]["b"])
-    attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(params, h, zd)
+    if _use_encoder_kernel(cfg, compute_dtype):
+        attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_kernel(
+            params, cfg, y)
+    else:
+        lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
+                                 R=R, padding=cfg.padding,
+                                 compute_dtype=compute_dtype))      # (B,H',W',R,K)
+        h = act(jnp.dot(lift, params["conv2"]["w"],
+                        preferred_element_type=jnp.float32)
+                + params["conv2"]["b"])
+        attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(params, h,
+                                                                    zd)
 
     p_r = jnp.asarray(rotation_log_prior(cfg, R))                   # (R,)
     attn = attn.astype(jnp.float32) + p_r                           # broadcast over R

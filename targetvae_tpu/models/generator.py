@@ -9,6 +9,7 @@ into the matmul epilogues.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -17,6 +18,15 @@ import jax.numpy as jnp
 from ..ops.fourier import fourier_init, fourier_apply
 from ..utils.config import GeneratorConfig
 from ..utils.initializers import linear_init
+
+
+def _use_decoder_kernel(cfg: GeneratorConfig, compute_dtype) -> bool:
+    from ..kernels.decoder_mlp import decoder_kernel_supported
+    if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
+        return False
+    return (compute_dtype == jnp.bfloat16
+            and decoder_kernel_supported(cfg)
+            and jax.default_backend() == "tpu")
 
 
 def _act(name: str):
@@ -53,6 +63,20 @@ def generator_apply(params: dict, cfg: GeneratorConfig, x: jnp.ndarray,
     """
     act = _act(cfg.activation)
     dt = compute_dtype or x.dtype
+
+    if z is not None and _use_decoder_kernel(cfg, compute_dtype):
+        # fused Pallas path: the whole Fourier+MLP pipeline in one kernel
+        from ..kernels.decoder_mlp import fused_decoder_mlp
+        fw = jax.lax.stop_gradient(params["fourier"]["w"])
+        fb = jax.lax.stop_gradient(params["fourier"]["b"])
+        hz = jnp.dot(z, params["latent_linear"]["w"],
+                     preferred_element_type=jnp.float32)
+        return fused_decoder_mlp(
+            x, hz, fw / jnp.asarray(cfg.fourier_sigma, fw.dtype), fb,
+            params["coord_linear"]["w"], params["coord_linear"]["b"],
+            params["hidden"][0]["w"], params["hidden"][0]["b"],
+            params["out"]["w"], params["out"]["b"],
+            cfg.activation)
 
     if cfg.fourier_expansion:
         x = fourier_apply(params["fourier"], x, cfg.fourier_sigma)

@@ -1,0 +1,121 @@
+"""Pallas kernel parity vs the XLA paths (interpret mode on CPU).
+
+Tolerances are bf16-level: the kernels run their matmuls in bf16 with f32
+accumulation by design.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import targetvae_tpu.kernels.lifted_encoder as LE
+import targetvae_tpu.models.encoders as EN
+from targetvae_tpu.kernels.decoder_mlp import fused_decoder_mlp
+from targetvae_tpu.models.encoders import (
+    encoder_apply, encoder_init, group_offsets, rotation_log_prior)
+from targetvae_tpu.utils.config import EncoderConfig
+
+
+@pytest.fixture
+def enc_setup():
+    cfg = EncoderConfig(image_dim=14, z_dim=2, kernels_num=16, kernels_size=8,
+                        padding=3, groupconv=4)
+    params = encoder_init(jax.random.key(0), cfg)
+    y = jax.random.uniform(jax.random.key(1), (3, 14, 14, 1))
+    return cfg, params, y
+
+
+@pytest.fixture
+def interpret_encoder(monkeypatch):
+    orig = LE.fused_lifted_encoder
+    monkeypatch.setattr(
+        EN, "_use_encoder_kernel", lambda cfg, dt: False)  # isolate
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+    monkeypatch.setattr(LE, "fused_lifted_encoder", interp)
+    # _mode_c_kernel imports inside the function, so patch the module attr
+    import targetvae_tpu.kernels.lifted_encoder as mod
+    return interp
+
+
+def test_decoder_kernel_fwd_bwd_parity():
+    B, N, F, H, nout = 3, 70, 256, 128, 2
+    k = jax.random.split(jax.random.key(0), 10)
+    x = jax.random.normal(k[0], (B, N, 2))
+    hz = jax.random.normal(k[1], (B, H))
+    wf = jax.random.normal(k[2], (2, F))
+    bf = jax.random.uniform(k[3], (F,)) * 6
+    w1 = jax.random.normal(k[4], (F, H)) * 0.05
+    b1 = jax.random.normal(k[5], (H,)) * 0.1
+    w2 = jax.random.normal(k[6], (H, H)) * 0.08
+    b2 = jax.random.normal(k[7], (H,)) * 0.1
+    w3 = jax.random.normal(k[8], (H, nout)) * 0.1
+    b3 = jax.random.normal(k[9], (nout,)) * 0.1
+
+    def ref(x, hz, w1, b1, w2, b2, w3, b3):
+        f = jnp.cos(x @ wf + bf)
+        h1 = jax.nn.leaky_relu(f @ w1 + b1 + hz[:, None, :], 0.01)
+        h2 = jax.nn.leaky_relu(h1 @ w2 + b2, 0.01)
+        return h2 @ w3 + b3
+
+    args = (x, hz, w1, b1, w2, b2, w3, b3)
+    y_ref = ref(*args)
+    y_ker = fused_decoder_mlp(x, hz, wf, bf, w1, b1, w2, b2, w3, b3,
+                              "leakyrelu", 64, True)
+    assert float(jnp.abs(y_ref - y_ker).max()) < 2e-2
+
+    def loss_ref(a):
+        return jnp.sum(jnp.sin(ref(*a)))
+
+    def loss_ker(a):
+        x_, hz_, *ws = a
+        return jnp.sum(jnp.sin(fused_decoder_mlp(
+            x_, hz_, wf, bf, *ws, "leakyrelu", 64, True)))
+
+    g_ref = jax.grad(loss_ref)(args)
+    g_ker = jax.grad(loss_ker)(args)
+    for a, b in zip(g_ref, g_ker):
+        assert not bool(jnp.isnan(b).any())
+        rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+        assert rel < 0.1, rel
+
+
+def test_encoder_kernel_fwd_parity(enc_setup, interpret_encoder):
+    cfg, params, y = enc_setup
+    ref = encoder_apply(params, cfg, y, key=None)
+    attn, th_mu, th_ls, z_mu, z_ls = EN._mode_c_kernel(params, cfg, y)
+    p_r = rotation_log_prior(cfg, 4)
+    for a, b in [(attn + p_r, ref["attn"]), (th_mu + group_offsets(4),
+                                             ref["theta_mu"]),
+                 (th_ls, ref["theta_logstd"]), (z_mu, ref["z_mu"]),
+                 (z_ls, ref["z_logstd"])]:
+        assert float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()) < 5e-3
+
+
+def test_encoder_kernel_bwd_parity(enc_setup, interpret_encoder):
+    cfg, params, y = enc_setup
+
+    def loss_ref(p):
+        o = encoder_apply(p, cfg, y, key=None)
+        return sum(jnp.sum(jnp.sin(v)) for v in
+                   [o["attn"], o["theta_mu"], o["theta_logstd"], o["z_mu"],
+                    o["z_logstd"]])
+
+    def loss_ker(p):
+        attn, th_mu, th_ls, z_mu, z_ls = EN._mode_c_kernel(p, cfg, y)
+        attn = attn + jnp.asarray(rotation_log_prior(cfg, 4))
+        th_mu = th_mu + jnp.asarray(group_offsets(4))
+        return sum(jnp.sum(jnp.sin(v)) for v in
+                   [attn, th_mu, th_ls, z_mu, z_ls])
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_ker = jax.grad(loss_ker)(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_ker = dict(jax.tree_util.tree_leaves_with_path(g_ker))
+    for path, a in flat_ref:
+        b = flat_ker[path]
+        assert not bool(jnp.isnan(b).any()), path
+        rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+        assert rel < 0.05, (path, rel)
