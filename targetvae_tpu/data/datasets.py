@@ -86,18 +86,24 @@ def load_npy_split(train_path: str, test_path: str, scale255: bool = True,
 def load_particles(path: str) -> np.ndarray:
     """Load a particle stack: .mrc/.mrcs/.npy file, or a directory of mrcs
     (the README-advertised layout the reference does not actually support)."""
+    def _load_one(p: str) -> np.ndarray:
+        from . import native
+        if native.available():
+            return native.load_mrc_f32(p)   # mmap + multithreaded decode
+        arr, _ = mrc.read_mmap(p)
+        return np.asarray(arr, dtype=np.float32)
+
     if os.path.isdir(path):
-        stacks = []
-        for name in sorted(os.listdir(path)):
-            if name.endswith((".mrc", ".mrcs")):
-                arr, _ = mrc.read_mmap(os.path.join(path, name))
-                stacks.append(np.asarray(arr, dtype=np.float32))
+        stacks = [
+            _load_one(os.path.join(path, name))
+            for name in sorted(os.listdir(path))
+            if name.endswith((".mrc", ".mrcs"))
+        ]
         if not stacks:
             raise FileNotFoundError(f"no .mrc/.mrcs files in {path}")
         images = np.concatenate(stacks, axis=0)
     elif path.endswith((".mrc", ".mrcs")):
-        arr, _ = mrc.read_mmap(path)
-        images = np.asarray(arr, dtype=np.float32)
+        images = _load_one(path)
     elif path.endswith(".npy"):
         images = np.load(path).astype(np.float32)
     else:
