@@ -80,9 +80,21 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
     # TPU-framework extensions (not in the reference)
     parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                         default="float32",
-                        help="matmul/conv compute dtype (default: float32)")
+                        help="matmul/conv compute dtype; bfloat16 also enables "
+                             "the fused Pallas kernels on TPU "
+                             "(default: float32)")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed (default: 0)")
+    parser.add_argument("--resume", default=None, metavar="RUN_DIR",
+                        help="resume training from a previous run directory "
+                             "(restores params, optimizer state, RNG, "
+                             "schedulers)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of one epoch to "
+                             "this directory")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax debug_nans (error at the op that "
+                             "produced a NaN)")
 
 
 def select_device(device_index: int) -> None:
@@ -120,6 +132,38 @@ def model_config_from_args(args, image_dim: int, n_out: int,
         groupconv=args.groupconv, theta_prior=theta_prior,
         normal_prior_over_r=normal_prior_over_r)
     return ModelConfig(generator=gen, encoder=enc, likelihood=likelihood)
+
+
+def launch_training(args, model, train_cfg, run_name: str, y_train, y_test,
+                    ctf_train=None, ctf_test=None):
+    """Shared tail of every train CLI: logger/run-dir setup (or resume into an
+    existing run dir), optional debug-nans, then fit()."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..train import RunLogger, fit
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    resume_dir = None
+    if args.resume:
+        resume_dir = args.resume.rstrip("/")
+        logger = RunLogger(os.path.dirname(resume_dir) or ".",
+                           os.path.basename(resume_dir), append=True)
+    else:
+        logger = RunLogger(args.log_root, run_name, args_repr=str(args),
+                           model_repr=model.cfg.to_json())
+    try:
+        return fit(model, train_cfg, logger,
+                   jnp.asarray(y_train), jnp.asarray(y_test),
+                   ctf_train=None if ctf_train is None else jnp.asarray(ctf_train),
+                   ctf_test=None if ctf_test is None else jnp.asarray(ctf_test),
+                   resume_dir=resume_dir, profile_dir=args.profile_dir)
+    finally:
+        logger.close()
 
 
 def train_config_from_args(args, **overrides) -> TrainConfig:

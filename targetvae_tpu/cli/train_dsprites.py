@@ -9,10 +9,11 @@ import numpy as np
 
 from ..data.datasets import load_npy_split
 from ..models import TargetVAE
-from ..train import RunLogger, fit, run_dir_name
+from ..train import run_dir_name
 from ..utils.config import LikelihoodConfig
-from .common import (add_model_args, add_train_args, model_config_from_args,
-                     select_device, train_config_from_args)
+from .common import (add_model_args, add_train_args, launch_training,
+                     model_config_from_args, select_device,
+                     train_config_from_args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -51,14 +52,7 @@ def main(argv=None):
 
     name = run_dir_name("dsprites", args.z_dim, args.t_inf, args.r_inf,
                         args.groupconv)
-    logger = RunLogger(args.log_root, name, args_repr=str(args),
-                       model_repr=cfg.to_json())
-    try:
-        import jax.numpy as jnp
-        fit(model, train_cfg, logger, jnp.asarray(y_train),
-            jnp.asarray(y_test))
-    finally:
-        logger.close()
+    launch_training(args, model, train_cfg, name, y_train, y_test)
 
 
 if __name__ == "__main__":

@@ -12,10 +12,11 @@ from ..data import ctf as ctf_mod
 from ..data.datasets import (load_particles, preprocess_particles,
                              train_test_split)
 from ..models import TargetVAE
-from ..train import RunLogger, fit, run_dir_name
+from ..train import run_dir_name
 from ..utils.config import LikelihoodConfig
-from .common import (add_model_args, add_train_args, model_config_from_args,
-                     select_device, train_config_from_args)
+from .common import (add_model_args, add_train_args, launch_training,
+                     model_config_from_args, select_device,
+                     train_config_from_args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -114,17 +115,9 @@ def main(argv=None):
     dataset_tag = (args.train_path or "particles").replace("/", "-")
     name = run_dir_name(dataset_tag, args.z_dim, args.t_inf, args.r_inf,
                         args.groupconv, extra_tags=tags)
-    logger = RunLogger(args.log_root, name, args_repr=str(args),
-                       model_repr=cfg.to_json())
-    try:
-        import jax.numpy as jnp
-        fit(model, train_cfg, logger,
-            jnp.asarray(images_train[..., None]),
-            jnp.asarray(images_test[..., None]),
-            ctf_train=jnp.asarray(ctf_train) if ctf_train is not None else None,
-            ctf_test=jnp.asarray(ctf_test) if ctf_test is not None else None)
-    finally:
-        logger.close()
+    launch_training(args, model, train_cfg, name,
+                    images_train[..., None], images_test[..., None],
+                    ctf_train=ctf_train, ctf_test=ctf_test)
 
 
 if __name__ == "__main__":

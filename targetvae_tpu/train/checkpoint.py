@@ -56,6 +56,50 @@ def load_checkpoint(path: str) -> Tuple[Any, ModelConfig, dict]:
     return payload["params"], cfg, payload
 
 
+def save_train_state(path: str, state, cfg: ModelConfig,
+                     host_state: Optional[dict] = None) -> None:
+    """Full resume checkpoint: params + optimizer state + PRNG key + host-side
+    controller state (epoch, scheduler, early stopping). The reference has no
+    resume path at all (SURVEY.md section 5)."""
+    from flax import serialization as ser
+    extra = {
+        "opt_state": ser.to_state_dict(_to_host(state.opt_state)),
+        "key": np.asarray(jax.random.key_data(state.key)),
+        "host": host_state or {},
+    }
+    save_checkpoint(path, state.params, cfg, step=int(state.step), extra=extra)
+
+
+def load_train_state(path: str, template_state):
+    """Restore a TrainState saved by save_train_state.
+
+    template_state: a freshly-initialized TrainState with the same model/
+    optimizer config, used as the structure template.
+    """
+    from flax import serialization as ser
+    params, cfg, payload = load_checkpoint(path)
+    extra = payload["extra"]
+    opt_state = ser.from_state_dict(template_state.opt_state,
+                                    extra["opt_state"])
+    key = jax.random.wrap_key_data(jnp_asarray_u32(extra["key"]))
+    state = template_state._replace(
+        step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
+        params=jax.tree.map(jax.numpy.asarray, params),
+        opt_state=jax.tree.map(_maybe_asarray, opt_state),
+        key=key)
+    return state, cfg, extra.get("host", {})
+
+
+def _maybe_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x) if isinstance(x, np.ndarray) else x
+
+
+def jnp_asarray_u32(x):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(x), dtype=jnp.uint32)
+
+
 def save_model_pair(path_prefix: str, params: Any, cfg: ModelConfig,
                     step: int = 0, suffix: str = "") -> None:
     """Write generator{suffix}.sav + inference{suffix}.sav (the reference's

@@ -1,32 +1,41 @@
 """The shared outer training loop (epochs, early stopping, LR plateau,
-checkpoints) used by every training CLI.
+checkpoints, resume, profiling) used by every training CLI.
 
 Replicates the reference main() epoch loop behavior (train_mnist.py:626-684):
 train epoch -> test eval -> EarlyStopping(patience 20, delta 1e-4) with
 best-model save -> ReduceLROnPlateau(max, 0.5, patience 9, 1e-4 abs) ->
-periodic epoch snapshots every save_interval epochs.
+periodic epoch snapshots every save_interval epochs. Adds what the reference
+lacks: a full resume checkpoint (optimizer state + RNG + controller state),
+per-epoch throughput logging, and jax.profiler trace capture.
 """
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..models.targetvae import TargetVAE
 from ..utils.config import TrainConfig
-from .checkpoint import save_model_pair
+from .checkpoint import load_train_state, save_model_pair, save_train_state
 from .loop import Trainer
 from .logging import RunLogger
 from .schedule import EarlyStopping, ReduceLROnPlateau
 from .state import set_learning_rate
+
+RESUME_FILE = "training_state.sav"
 
 
 def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         y_train: jnp.ndarray, y_test: jnp.ndarray,
         ctf_train: Optional[jnp.ndarray] = None,
         ctf_test: Optional[jnp.ndarray] = None,
-        num_epochs: Optional[int] = None):
+        num_epochs: Optional[int] = None,
+        resume_dir: Optional[str] = None,
+        profile_dir: Optional[str] = None):
     """Returns the final TrainState."""
     trainer = Trainer(model, train_cfg)
     state = trainer.init_state(train_cfg.seed)
@@ -37,38 +46,72 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         train_cfg.learning_rate, mode="max", factor=train_cfg.plateau_factor,
         patience=train_cfg.plateau_patience,
         threshold=train_cfg.plateau_threshold, min_lr=train_cfg.min_lr)
+    stopper = EarlyStopping(patience=train_cfg.early_patience,
+                            delta=train_cfg.early_delta)
+    start_epoch = 0
+
+    if resume_dir:
+        ckpt = os.path.join(resume_dir, RESUME_FILE)
+        state, _, host = load_train_state(ckpt, state)
+        start_epoch = int(host.get("epoch", 0))
+        scheduler.lr = float(host.get("lr", scheduler.lr))
+        scheduler.best = float(host.get("sched_best", scheduler.best))
+        scheduler.num_bad = int(host.get("sched_bad", 0))
+        stopper.max_elbo = float(host.get("early_best", stopper.max_elbo))
+        stopper.counter = int(host.get("early_counter", 0))
+        logger.line(f"# resumed from {ckpt} at epoch {start_epoch}, "
+                    f"lr {scheduler.lr:g}")
 
     state_box = {"state": state}
+    stopper.save_fn = lambda: save_model_pair(
+        logger.path_prefix, state_box["state"].params, model.cfg,
+        step=int(state_box["state"].step))
 
-    def save_best():
-        save_model_pair(logger.path_prefix, state_box["state"].params,
-                        model.cfg, step=int(state_box["state"].step))
+    n_train = int(y_train.shape[0])
 
-    stopper = EarlyStopping(patience=train_cfg.early_patience,
-                            delta=train_cfg.early_delta, save_fn=save_best)
+    for epoch in range(start_epoch, num_epochs):
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)
 
-    for epoch in range(num_epochs):
+        t0 = time.time()
         state, (elbo, gen_loss, kl) = trainer.train_epoch(
             state, y_train, ctf_train)
+        dt = time.time() - t0
         state_box["state"] = state
         logger.epoch(epoch + 1, "train", elbo, gen_loss, kl)
+        logger.progress(f"# epoch {epoch + 1}: {dt:.2f}s, "
+                        f"{n_train / dt:.0f} images/sec")
 
         elbo_t, gen_loss_t, kl_t = trainer.eval_epoch(
             state, y_test, ctf_test, seed=epoch)
         logger.epoch(epoch + 1, "test", elbo_t, gen_loss_t, kl_t)
 
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
+            logger.line(f"# profiler trace written to {profile_dir}")
+
         msg = stopper(elbo_t)
         logger.line(msg)
         logger.line("")
-        if stopper.early_stop:
-            logger.line("*** Early stopping ***")
-            break
 
         prev_lr = scheduler.lr
         new_lr = scheduler.step(elbo_t)
         if new_lr != prev_lr:
             state = set_learning_rate(state, new_lr)
             logger.line(f"# reducing learning rate to {new_lr:g}")
+
+        save_train_state(
+            os.path.join(logger.path_prefix, RESUME_FILE), state, model.cfg,
+            host_state={
+                "epoch": epoch + 1, "lr": scheduler.lr,
+                "sched_best": scheduler.best, "sched_bad": scheduler.num_bad,
+                "early_best": stopper.max_elbo,
+                "early_counter": stopper.counter,
+            })
+
+        if stopper.early_stop:
+            logger.line("*** Early stopping ***")
+            break
 
         if (epoch + 1) % train_cfg.save_interval == 0:
             suffix = "_epoch" + str(epoch + 1).zfill(digits)

@@ -32,20 +32,21 @@ class RunLogger:
     HEADER = "\t".join(["Epoch", "Split", "ELBO", "Error", "KL"])
 
     def __init__(self, log_root: str, run_name: str, args_repr: str = "",
-                 model_repr: str = ""):
+                 model_repr: str = "", append: bool = False):
         os.makedirs(log_root, exist_ok=True)
         self.path_prefix = os.path.join(log_root, run_name, "")
         os.makedirs(self.path_prefix, exist_ok=True)
         self.log_file = open(os.path.join(self.path_prefix, "train_log.txt"),
-                             "w", buffering=1)
-        print(run_name + "\n", file=self.log_file)
-        if args_repr:
-            print("\n\nargs:", file=self.log_file)
-            print(args_repr, file=self.log_file)
-        if model_repr:
-            print(model_repr, file=self.log_file)
-        print("\n\n", file=self.log_file)
-        print(self.HEADER + "\n", file=self.log_file)
+                             "a" if append else "w", buffering=1)
+        if not append:
+            print(run_name + "\n", file=self.log_file)
+            if args_repr:
+                print("\n\nargs:", file=self.log_file)
+                print(args_repr, file=self.log_file)
+            if model_repr:
+                print(model_repr, file=self.log_file)
+            print("\n\n", file=self.log_file)
+            print(self.HEADER + "\n", file=self.log_file)
         print(self.HEADER)
 
     def epoch(self, epoch: int, split: str, elbo: float, gen_loss: float,
