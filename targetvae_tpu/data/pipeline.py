@@ -1,0 +1,79 @@
+"""Host-side data feed: background shuffle -> gather -> device prefetch.
+
+For datasets that fit in HBM the Trainer keeps everything on device and scans
+whole epochs (train/loop.py). This pipeline covers the streaming case —
+EMPIAR-scale particle stacks larger than device memory: a worker thread
+assembles shuffled batches on host (using the native multithreaded gather when
+available) and stages them onto the device (with an optional NamedSharding)
+while the previous step computes.
+
+Replaces the reference's device-resident TensorDataset + in-process DataLoader
+(train_mnist.py:495-500, :586-587) for the large-data regime.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class HostDataPipeline:
+    def __init__(self, images: np.ndarray, ctf: Optional[np.ndarray] = None,
+                 batch_size: int = 100, seed: int = 0,
+                 sharding=None, prefetch: int = 2, shuffle: bool = True):
+        self.images = np.ascontiguousarray(images, dtype=np.float32)
+        self.ctf = None if ctf is None else np.ascontiguousarray(
+            ctf, dtype=np.float32)
+        self.batch = batch_size
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Tuple]:
+        """Yield (y_device, ctf_device_or_None) batches for one epoch."""
+        import jax
+
+        from .native import gather_f32
+
+        n = len(self.images)
+        rng = np.random.RandomState(self.seed + epoch_idx)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def put(batch_np, ctf_np):
+            y = jax.device_put(batch_np, self.sharding)
+            c = None if ctf_np is None else jax.device_put(ctf_np,
+                                                           self.sharding)
+            q.put((y, c))
+
+        def worker():
+            try:
+                for lo in range(0, n, self.batch):
+                    if stop.is_set():
+                        return
+                    idx = order[lo:lo + self.batch]
+                    batch_np = gather_f32(self.images, idx)
+                    ctf_np = None if self.ctf is None else gather_f32(
+                        self.ctf, idx)
+                    put(batch_np, ctf_np)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -127,6 +127,19 @@ class Trainer:
             weights.append(float(rem))
         return state, _weighted_mean(np.concatenate(metrics), weights)
 
+    def train_epoch_stream(self, state: TrainState, batches,
+                           ) -> Tuple[TrainState, Tuple[float, float, float]]:
+        """One epoch over a host iterator of (y, ctf) device batches (see
+        data/pipeline.HostDataPipeline) — the streaming path for datasets that
+        don't fit in HBM. Batches of equal size reuse one compiled step."""
+        metrics = []
+        weights = []
+        for y, ctf in batches:
+            state, m = self._train_step(state, y, ctf)
+            metrics.append(np.asarray(m)[None])
+            weights.append(float(y.shape[0]))
+        return state, _weighted_mean(np.concatenate(metrics), weights)
+
     def eval_epoch(self, state: TrainState, data: jnp.ndarray,
                    ctf: Optional[jnp.ndarray] = None, seed: int = 0,
                    ) -> Tuple[float, float, float]:
