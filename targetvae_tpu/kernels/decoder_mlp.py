@@ -57,13 +57,14 @@ def decoder_kernel_supported(cfg) -> bool:
 
 def _fwd_kernel(x_ref, hz_ref, wf_ref, bf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 w3_ref, b3_ref, y_ref, *, act_kind: str):
+    b_idx = pl.program_id(0)
     x = x_ref[...]                                     # (1, T, 2) f32
     f = jnp.cos(x[0, :, 0:1] * wf_ref[0:1, :] + x[0, :, 1:2] * wf_ref[1:2, :]
                 + bf_ref[...])                         # (T, F) f32, VPU
     f16 = f.astype(jnp.bfloat16)
     pre1 = jnp.dot(f16, w1_ref[...],
                    preferred_element_type=jnp.float32)  # (T, H)
-    pre1 = pre1 + b1_ref[...] + hz_ref[0]
+    pre1 = pre1 + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :]
     h1 = _act(pre1, act_kind).astype(jnp.bfloat16)
     pre2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
     pre2 = pre2 + b2_ref[...]
@@ -89,7 +90,7 @@ def _fwd(x, hz, wf, bf, w1, b1, w2, b2, w3, b3, *, act_kind: str,
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((B, H), lambda b, t: (0, 0)),
             pl.BlockSpec((2, F), lambda b, t: (0, 0)),
             pl.BlockSpec((1, F), lambda b, t: (0, 0)),
             pl.BlockSpec((F, H), lambda b, t: (0, 0)),
@@ -132,8 +133,9 @@ def _bwd_kernel(x_ref, hz_ref, wf_ref, bf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     f = jnp.cos(arg)
     f = jnp.where(row_ok, f, 0.0)
     f16 = f.astype(jnp.bfloat16)
-    pre1 = jnp.dot(f16, w1_ref[...].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32) + b1_ref[...] + hz_ref[0]
+    pre1 = (jnp.dot(f16, w1_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
     h1 = _act(pre1, act_kind)
     h1_16 = h1.astype(jnp.bfloat16)
     pre2 = jnp.dot(h1_16, w2_ref[...].astype(jnp.bfloat16),
@@ -176,7 +178,9 @@ def _bwd_kernel(x_ref, hz_ref, wf_ref, bf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dx_ref[0] = jnp.stack([dx0, dx1], axis=-1)
 
     # grid-sequential accumulation
-    @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
+    first = jnp.logical_and(b_idx == 0, t_idx == 0)
+
+    @pl.when(first)
     def _init():
         dw1_ref[...] = dw1
         db1_ref[...] = db1
@@ -184,8 +188,9 @@ def _bwd_kernel(x_ref, hz_ref, wf_ref, bf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         db2_ref[...] = db2
         dw3_ref[...] = dw3
         db3_ref[...] = db3
+        dhz_ref[...] = jnp.zeros(dhz_ref.shape, dhz_ref.dtype)
 
-    @pl.when(jnp.logical_not(jnp.logical_and(b_idx == 0, t_idx == 0)))
+    @pl.when(jnp.logical_not(first))
     def _acc():
         dw1_ref[...] += dw1
         db1_ref[...] += db1
@@ -194,13 +199,7 @@ def _bwd_kernel(x_ref, hz_ref, wf_ref, bf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dw3_ref[...] += dw3
         db3_ref[...] += db3
 
-    @pl.when(t_idx == 0)
-    def _init_hz():
-        dhz_ref[...] = db1
-
-    @pl.when(t_idx != 0)
-    def _acc_hz():
-        dhz_ref[...] += db1
+    dhz_ref[pl.ds(b_idx, 1), :] += db1
 
 
 def _bwd(res, g, *, act_kind: str, tile: int, interpret: bool):
@@ -227,7 +226,7 @@ def _bwd(res, g, *, act_kind: str, tile: int, interpret: bool):
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((B, H), lambda b, t: (0, 0)),
             pl.BlockSpec((2, F), lambda b, t: (0, 0)),
             pl.BlockSpec((1, F), lambda b, t: (0, 0)),
             pl.BlockSpec((F, H), lambda b, t: (0, 0)),
@@ -239,7 +238,7 @@ def _bwd(res, g, *, act_kind: str, tile: int, interpret: bool):
         ],
         out_specs=(
             pl.BlockSpec((1, tile, 2), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, H), lambda b, t: (b, 0)),
+            pl.BlockSpec((B, H), lambda b, t: (0, 0)),
             pl.BlockSpec((F, H), lambda b, t: (0, 0)),
             pl.BlockSpec((1, H), lambda b, t: (0, 0)),
             pl.BlockSpec((H, H), lambda b, t: (0, 0)),

@@ -75,7 +75,7 @@ def _fwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
     # (Tr*Wp*R, D) -> (R*D, Tr*Wp) for a padding-free HBM layout
     out = out.reshape(tile_rows * wp, R, D)
     out = jnp.transpose(out, (1, 2, 0)).reshape(R * D, tile_rows * wp)
-    out_ref[0] = out
+    out_ref[0, 0] = out
 
 
 def _pad_rows(xp, k, hp, tile_rows):
@@ -112,9 +112,9 @@ def _fwd(xp, wc, bc_vec, w2, b2, wh, bh, *, k, wp, hp, R, K, D, tile_rows,
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
             pl.BlockSpec((1, D), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, R * D, tile_rows * wp),
-                               lambda b, t: (b, 0, t)),
-        out_shape=jax.ShapeDtypeStruct((B, R * D, nt * tile_rows * wp),
+        out_specs=pl.BlockSpec((1, 1, R * D, tile_rows * wp),
+                               lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nt, R * D, tile_rows * wp),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -143,7 +143,7 @@ def _bwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
 
     # incoming grad, back to (Tr*Wp*R, D); padded rows of g are zeroed via p's
     # validity (they were never written, but the block may read garbage)
-    g = g_ref[0].reshape(R, D, tile_rows * wp)
+    g = g_ref[0, 0].reshape(R, D, tile_rows * wp)
     g = jnp.transpose(g, (2, 0, 1)).reshape(tile_rows * wp * R, D)
     gvalid = jnp.repeat(valid, R, axis=0)
     g = jnp.where(gvalid, g, 0.0)
@@ -218,7 +218,8 @@ def _bwd(res, g, *, k, wp, hp, R, K, D, tile_rows, act_kind, interpret):
             pl.BlockSpec((K, K), lambda b, t: (0, 0)),
             pl.BlockSpec((1, K), lambda b, t: (0, 0)),
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, R * D, tile_rows * wp), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, 1, R * D, tile_rows * wp),
+                         lambda b, t: (b, t, 0, 0)),
         ],
         out_specs=tuple([
             pl.BlockSpec((k * k, R * K), lambda b, t: (0, 0)),
@@ -276,5 +277,10 @@ def fused_lifted_encoder(xp, wc, bc_vec, w2, b2, wh, bh, *, k: int, wp: int,
     reshapes to (B, R, D, hp, wp).
     """
     D = wh.shape[1]
-    return _fused(k, wp, hp, R, K, D, tile_rows, act_kind, interpret,
-                  xp, wc, bc_vec, w2, b2, wh, bh)
+    out = _fused(k, wp, hp, R, K, D, tile_rows, act_kind, interpret,
+                 xp, wc, bc_vec, w2, b2, wh, bh)
+    # (B, nt, R*D, Tr*wp) -> (B, R*D, nt*Tr*wp); the cotangent of this
+    # transpose/reshape is handled by XLA outside the custom-vjp boundary
+    B, nt = out.shape[0], out.shape[1]
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, R * D,
+                                                    nt * tile_rows * wp)

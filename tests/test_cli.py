@@ -85,7 +85,10 @@ def test_train_and_cluster_particles(tmp_path):
     run = os.path.join(log_root, runs[0])
     assert "_ctf" in runs[0]
     log = open(os.path.join(run, "train_log.txt")).read()
-    assert "\ttrain\t" in log and "nan" not in log
+    assert "\ttrain\t" in log
+    metric_lines = [l for l in log.splitlines()
+                    if "\ttrain\t" in l or "\ttest\t" in l]
+    assert metric_lines and all("nan" not in l for l in metric_lines)
 
     clustering_particles.main([
         "--test-path", str(tmp_path / "stack.mrcs"),
