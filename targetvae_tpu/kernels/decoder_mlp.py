@@ -250,8 +250,8 @@ def _bwd(res, g, *, act_kind: str, tile: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, hz, wf, bf.reshape(1, F), w1, b1.reshape(1, H), w2,
-      b2.reshape(1, H), w3, g)
+    )(x, hz, wf, bf.reshape(1, F), w1.astype(jnp.bfloat16), b1.reshape(1, H),
+      w2.astype(jnp.bfloat16), b2.reshape(1, H), w3.astype(jnp.bfloat16), g)
 
     dx, dhz, dw1, db1, dw2, db2, dw3, db3 = outs
     return (dx, dhz, None, None, dw1, db1.reshape(H), dw2, db2.reshape(H),
@@ -282,7 +282,7 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fused_decoder_mlp(x, hz, wf, bf, w1, b1, w2, b2, w3, b3,
-                      act_kind: str = "leakyrelu", tile: int = 512,
+                      act_kind: str = "leakyrelu", tile: int = 256,
                       interpret: bool = False):
     """y = W3 act(W2 act(W1 cos(x@wf + bf) + b1 + hz) + b2) + b3.
 

@@ -38,20 +38,23 @@ def encoder_kernel_supported(cfg) -> bool:
     return cfg.mode == "C" and cfg.in_channels == 1
 
 
-def _patches(img, t_idx, tile_rows, wp, k, hp):
+def _patches(img_ref, t_idx, tile_rows, wp, k, hp):
     """Build the im2col patch matrix for a tile of output rows.
 
-    img: (n2, n2) f32 in VMEM (whole padded image). Returns
+    img_ref: (1, nrows, ncols) f32 VMEM ref (whole padded image). Returns
     (tile_rows * wp, k * k) where row ti*wp + j holds the kxk patch at output
     position (t_idx*tile_rows + ti, j); padded rows (beyond hp) are zeroed.
     """
     i0 = t_idx * tile_rows
-    block = jax.lax.dynamic_slice_in_dim(img, i0, tile_rows + k - 1, axis=0)
+    # ref-level dynamic slice (value-level dynamic_slice is not lowered)
+    block = img_ref[0, pl.ds(i0, tile_rows + k - 1), :]
     # stage 1: columns — Q[r, j, dj] = block[r, j+dj]
     q = jnp.stack([block[:, dj:dj + wp] for dj in range(k)], axis=-1)
-    # stage 2: rows — P[ti, j, di, dj] = Q[ti+di, j, dj]
-    p = jnp.stack([q[di:di + tile_rows] for di in range(k)], axis=2)
-    p = p.reshape(tile_rows * wp, k * k)
+    # stage 2: rows, concatenated along the LAST axis so the final collapse is
+    # the Mosaic-supported (A, B, C) -> (A*B, C) leading-dim reshape:
+    # P4[ti, j, di*k + dj] = Q[ti+di, j, dj]
+    p4 = jnp.concatenate([q[di:di + tile_rows] for di in range(k)], axis=-1)
+    p = p4.reshape(tile_rows * wp, k * k)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows * wp, 1), 0)
     valid = (i0 + rows // wp) < hp
     return jnp.where(valid, p, 0.0), valid
@@ -61,21 +64,22 @@ def _fwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                 out_ref, *, k: int, wp: int, hp: int, tile_rows: int, R: int,
                 K: int, D: int, act_kind: str):
     t_idx = pl.program_id(1)
-    p, _ = _patches(img_ref[0], t_idx, tile_rows, wp, k, hp)
+    p, _ = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
     p16 = p.astype(jnp.bfloat16)
     pre1 = jnp.dot(p16, wc_ref[...],
                    preferred_element_type=jnp.float32) + bc_ref[...]
-    h1 = _act(pre1, act_kind).astype(jnp.bfloat16)       # (Tr*Wp, R*K)
-    h1 = h1.reshape(tile_rows * wp * R, K)
-    pre2 = jnp.dot(h1, w2_ref[...],
-                   preferred_element_type=jnp.float32) + b2_ref[...]
-    h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
-    out = jnp.dot(h2, wh_ref[...],
-                  preferred_element_type=jnp.float32) + bh_ref[...]
-    # (Tr*Wp*R, D) -> (R*D, Tr*Wp) for a padding-free HBM layout
-    out = out.reshape(tile_rows * wp, R, D)
-    out = jnp.transpose(out, (1, 2, 0)).reshape(R * D, tile_rows * wp)
-    out_ref[0, 0] = out
+    h1 = _act(pre1, act_kind)                            # (Tr*Wp, R*K)
+    # mixing + heads per rotation (static loop keeps every op 2-D; Mosaic has
+    # no multi-axis reshapes): out[:, r*D:(r+1)*D] = heads(mix(h1_r))
+    outs = []
+    for r in range(R):
+        h1r = h1[:, r * K:(r + 1) * K].astype(jnp.bfloat16)
+        pre2 = jnp.dot(h1r, w2_ref[...],
+                       preferred_element_type=jnp.float32) + b2_ref[...]
+        h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
+        outs.append(jnp.dot(h2, wh_ref[...],
+                            preferred_element_type=jnp.float32) + bh_ref[...])
+    out_ref[0, 0] = jnp.concatenate(outs, axis=-1)       # (Tr*Wp, R*D)
 
 
 def _pad_rows(xp, k, hp, tile_rows):
@@ -112,9 +116,9 @@ def _fwd(xp, wc, bc_vec, w2, b2, wh, bh, *, k, wp, hp, R, K, D, tile_rows,
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
             pl.BlockSpec((1, D), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, R * D, tile_rows * wp),
+        out_specs=pl.BlockSpec((1, 1, tile_rows * wp, R * D),
                                lambda b, t: (b, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nt, R * D, tile_rows * wp),
+        out_shape=jax.ShapeDtypeStruct((B, nt, tile_rows * wp, R * D),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -130,42 +134,47 @@ def _bwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
-    p, valid = _patches(img_ref[0], t_idx, tile_rows, wp, k, hp)
+    p, valid = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
     p16 = p.astype(jnp.bfloat16)
     pre1 = jnp.dot(p16, wc_ref[...].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32) + bc_ref[...]
     h1 = _act(pre1, act_kind)
-    h1_rs16 = h1.reshape(tile_rows * wp * R, K).astype(jnp.bfloat16)
-    pre2 = jnp.dot(h1_rs16, w2_ref[...].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32) + b2_ref[...]
-    h2 = _act(pre2, act_kind)
-    h2_16 = h2.astype(jnp.bfloat16)
 
-    # incoming grad, back to (Tr*Wp*R, D); padded rows of g are zeroed via p's
-    # validity (they were never written, but the block may read garbage)
-    g = g_ref[0, 0].reshape(R, D, tile_rows * wp)
-    g = jnp.transpose(g, (2, 0, 1)).reshape(tile_rows * wp * R, D)
-    gvalid = jnp.repeat(valid, R, axis=0)
-    g = jnp.where(gvalid, g, 0.0)
-    g16 = g.astype(jnp.bfloat16)
+    # incoming grad (Tr*Wp, R*D); zero padded rows so they can't pollute the
+    # weight accumulators
+    g2 = jnp.where(valid, g_ref[0, 0], 0.0)
+    w2_16 = w2_ref[...].astype(jnp.bfloat16)
+    wh16 = wh_ref[...].astype(jnp.bfloat16)
 
-    dwh = jax.lax.dot_general(h2_16, g16, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dbh = jnp.sum(g, axis=0, keepdims=True)
-    dh2 = jax.lax.dot_general(g16, wh_ref[...].astype(jnp.bfloat16),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dpre2 = dh2 * _dact(pre2, act_kind)
-    dpre2_16 = dpre2.astype(jnp.bfloat16)
+    dwh = jnp.zeros((K, D), jnp.float32)
+    dbh = jnp.zeros((1, D), jnp.float32)
+    dw2 = jnp.zeros((K, K), jnp.float32)
+    db2 = jnp.zeros((1, K), jnp.float32)
+    dpre1_parts = []
+    for r in range(R):
+        h1r = h1[:, r * K:(r + 1) * K]
+        h1r16 = h1r.astype(jnp.bfloat16)
+        pre2 = jnp.dot(h1r16, w2_16,
+                       preferred_element_type=jnp.float32) + b2_ref[...]
+        h2 = _act(pre2, act_kind)
+        h2_16 = h2.astype(jnp.bfloat16)
+        gr = g2[:, r * D:(r + 1) * D]
+        gr16 = gr.astype(jnp.bfloat16)
 
-    dw2 = jax.lax.dot_general(h1_rs16, dpre2_16, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    db2 = jnp.sum(dpre2, axis=0, keepdims=True)
-    dh1 = jax.lax.dot_general(dpre2_16, w2_ref[...].astype(jnp.bfloat16),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dpre1 = (dh1.reshape(tile_rows * wp, R * K)
-             * _dact(pre1, act_kind))
+        dwh += jax.lax.dot_general(h2_16, gr16, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dbh += jnp.sum(gr, axis=0, keepdims=True)
+        dh2 = jax.lax.dot_general(gr16, wh16, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpre2 = dh2 * _dact(pre2, act_kind)
+        dpre2_16 = dpre2.astype(jnp.bfloat16)
+        dw2 += jax.lax.dot_general(h1r16, dpre2_16, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        db2 += jnp.sum(dpre2, axis=0, keepdims=True)
+        dh1r = jax.lax.dot_general(dpre2_16, w2_16, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dpre1_parts.append(dh1r * _dact(pre1[:, r * K:(r + 1) * K], act_kind))
+    dpre1 = jnp.concatenate(dpre1_parts, axis=-1)        # (Tr*Wp, R*K)
     dpre1_16 = dpre1.astype(jnp.bfloat16)
 
     dwc = jax.lax.dot_general(p16, dpre1_16, (((0,), (0,)), ((), ())),
@@ -218,7 +227,7 @@ def _bwd(res, g, *, k, wp, hp, R, K, D, tile_rows, act_kind, interpret):
             pl.BlockSpec((K, K), lambda b, t: (0, 0)),
             pl.BlockSpec((1, K), lambda b, t: (0, 0)),
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, 1, R * D, tile_rows * wp),
+            pl.BlockSpec((1, 1, tile_rows * wp, R * D),
                          lambda b, t: (b, t, 0, 0)),
         ],
         out_specs=tuple([
@@ -273,14 +282,13 @@ def fused_lifted_encoder(xp, wc, bc_vec, w2, b2, wh, bh, *, k: int, wp: int,
     xp: (B, n2, n2) pre-padded images (n2 = n + 2*padding).
     wc: (k*k, R*K) rotated conv weights as a matmul matrix, r-major output.
     bc_vec: (R*K,) bias tiled over R. w2/b2: mixing; wh/bh: fused heads (K, D).
-    Returns (B, R*D, nt*tile_rows*wp) f32; caller slices [..., :hp*wp] and
-    reshapes to (B, R, D, hp, wp).
+    Returns (B, nt*tile_rows*wp, R*D) f32; caller slices [:, :hp*wp] and
+    reshapes to (B, hp, wp, R, D).
     """
     D = wh.shape[1]
     out = _fused(k, wp, hp, R, K, D, tile_rows, act_kind, interpret,
                  xp, wc, bc_vec, w2, b2, wh, bh)
-    # (B, nt, R*D, Tr*wp) -> (B, R*D, nt*Tr*wp); the cotangent of this
-    # transpose/reshape is handled by XLA outside the custom-vjp boundary
+    # (B, nt, Tr*wp, R*D) -> (B, nt*Tr*wp, R*D); the cotangent of this
+    # reshape is handled by XLA outside the custom-vjp boundary
     B, nt = out.shape[0], out.shape[1]
-    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, R * D,
-                                                    nt * tile_rows * wp)
+    return out.reshape(B, nt * tile_rows * wp, R * D)

@@ -154,8 +154,7 @@ def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     out = fused_lifted_encoder(
         xp, wc, bc_vec, params["conv2"]["w"], params["conv2"]["b"], wh, bh,
         k=k, wp=hp, hp=hp, R=R, K=K, act_kind=cfg.activation)
-    out = out[..., :hp * hp].reshape(b, R, D, hp, hp)
-    out = jnp.transpose(out, (0, 3, 4, 1, 2))        # (B, H', W', R, D)
+    out = out[:, :hp * hp, :].reshape(b, hp, hp, R, D)  # (B, H', W', R, D)
     attn = out[..., 0]
     theta_mu = out[..., 1]
     theta_logstd = out[..., 2]
