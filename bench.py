@@ -15,21 +15,32 @@ on here), cached in BASELINE_MEASURED.json; see BENCH_NOTES.md.
 
 import json
 import os
+import sys
 import time
 
 import jax
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# persistent compilation cache: the Pallas/Mosaic path takes minutes to
+# compile through this environment's remote AOT helper, once per code change
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def measure_tpu(batch: int = 100, steps: int = 30) -> float:
+def measure_tpu(batch: int = 100, steps: int = 30,
+                compute_dtype=None) -> float:
     from targetvae_tpu.models import TargetVAE
     from targetvae_tpu.train import Trainer
     from targetvae_tpu.utils.config import TrainConfig
     from __graft_entry__ import _flagship_config
 
     model = TargetVAE(_flagship_config())
-    trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
+    trainer = Trainer(model, TrainConfig(learning_rate=2e-4,
+                                         compute_dtype=compute_dtype))
     state = trainer.init_state(0)
     y = jax.random.uniform(jax.random.key(1), (batch, 50, 50, 1))
 
@@ -52,11 +63,18 @@ def load_baseline() -> float:
 
 
 def main():
-    ips = measure_tpu()
+    results = {}
+    results["f32"] = measure_tpu(compute_dtype=None)
+    try:
+        results["bf16+pallas"] = measure_tpu(compute_dtype="bfloat16")
+    except Exception as e:  # pragma: no cover - kernel path is TPU-only
+        print(f"# bf16/pallas path failed: {e}", file=sys.stderr)
+    mode = max(results, key=results.get)
+    ips = results[mode]
     baseline = load_baseline()
     out = {
         "metric": "images/sec/chip, MNIST-U P8 attention+offsets train step "
-                  "(fwd+bwd+Adam, batch 100, TPU v5e)",
+                  f"(fwd+bwd+Adam, batch 100, TPU v5e, {mode})",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2) if baseline else None,

@@ -36,6 +36,16 @@ from .likelihoods import reconstruction_log_prob
 _EPS = 1e-6
 
 
+def _use_pose_decoder(gcfg, compute_dtype) -> bool:
+    import os
+    from ..kernels.decoder_mlp import decoder_kernel_supported
+    if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
+        return False
+    return (compute_dtype == jnp.bfloat16
+            and decoder_kernel_supported(gcfg)
+            and jax.default_backend() == "tpu")
+
+
 def _translation_log_prior(grid: np.ndarray) -> np.ndarray:
     """log p(t) over attention cells: log-softmaxed N(0, 0.1) density
     (reference train_mnist.py:168-171). grid: (M, 2) -> (M,)."""
@@ -160,8 +170,17 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         kl_div = jnp.mean(val1 + val2)
 
     # ---- reconstruction ----
-    y_hat = generator_apply(params["generator"], gcfg, x_t, z if gcfg.z_dim > 0 else None,
-                            compute_dtype=compute_dtype)
+    if _use_pose_decoder(gcfg, compute_dtype):
+        # pose-aware fused kernel: exploits the regular pixel grid to make the
+        # Fourier phase separable (kernels/decoder_pose.py) — the direct
+        # n^2 * F cos is the single most expensive op of the training step
+        from ..kernels.decoder_pose import fused_pose_decoder
+        y_hat = fused_pose_decoder(theta, dx, z, params["generator"], gcfg,
+                                   ecfg.image_dim)
+    else:
+        y_hat = generator_apply(params["generator"], gcfg, x_t,
+                                z if gcfg.z_dim > 0 else None,
+                                compute_dtype=compute_dtype)
     log_p = reconstruction_log_prob(
         y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
         dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw)

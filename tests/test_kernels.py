@@ -119,3 +119,41 @@ def test_encoder_kernel_bwd_parity(enc_setup, interpret_encoder):
         assert not bool(jnp.isnan(b).any()), path
         rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
         assert rel < 0.05, (path, rel)
+
+
+def test_pose_decoder_parity():
+    """Separable-phase pose decoder == transform_coords + generator_apply."""
+    from targetvae_tpu.kernels.decoder_pose import fused_pose_decoder
+    from targetvae_tpu.models.generator import generator_apply, generator_init
+    from targetvae_tpu.ops.coords import image_grid, transform_coords
+    from targetvae_tpu.utils.config import GeneratorConfig
+
+    n, zd = 18, 2
+    cfg = GeneratorConfig(z_dim=zd, hidden_dim=64, num_layers=2,
+                          fourier_expansion=True, fourier_sigma=2 / (n - 1))
+    params = generator_init(jax.random.key(0), cfg)
+    theta = jax.random.normal(jax.random.key(1), (3,))
+    dx = jax.random.normal(jax.random.key(2), (3, 2)) * 0.2
+    z = jax.random.normal(jax.random.key(3), (3, zd))
+    grid = jnp.asarray(image_grid(n))
+
+    def ref(theta, dx, z, params):
+        return generator_apply(params, cfg,
+                               transform_coords(grid, dx, theta), z)
+
+    def ker(theta, dx, z, params):
+        return fused_pose_decoder(theta, dx, z, params, cfg, n, tr=8,
+                                  interpret=True)
+
+    y_r = ref(theta, dx, z, params)
+    y_k = ker(theta, dx, z, params)
+    assert float(jnp.abs(y_r - y_k).max()) < 1e-2
+
+    gr = jax.grad(lambda t, d, zz, p: jnp.sum(jnp.sin(ref(t, d, zz, p))),
+                  argnums=(0, 1, 2, 3))(theta, dx, z, params)
+    gk = jax.grad(lambda t, d, zz, p: jnp.sum(jnp.sin(ker(t, d, zz, p))),
+                  argnums=(0, 1, 2, 3))(theta, dx, z, params)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gk)):
+        assert not bool(jnp.isnan(b).any())
+        rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+        assert rel < 0.15, rel
