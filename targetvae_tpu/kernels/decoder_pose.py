@@ -294,7 +294,7 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
-                       tr: int = 16, interpret: bool = False):
+                       tr: int = 8, interpret: bool = False):
     """Full pose-aware decoder: (theta (B,), dx (B,2), z (B,zd)) ->
     (B, image_dim^2, n_out). Equivalent to
     generator_apply(params, cfg, transform_coords(grid, dx, theta), z)."""

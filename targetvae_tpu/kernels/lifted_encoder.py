@@ -46,8 +46,9 @@ def _patches(img_ref, t_idx, tile_rows, wp, k, hp):
     position (t_idx*tile_rows + ti, j); padded rows (beyond hp) are zeroed.
     """
     i0 = t_idx * tile_rows
-    # ref-level dynamic slice (value-level dynamic_slice is not lowered)
-    block = img_ref[0, pl.ds(i0, tile_rows + k - 1), :]
+    # ref-level dynamic slice (value-level dynamic_slice is not lowered);
+    # bf16 halves the slice-copy traffic of the patch build
+    block = img_ref[0, pl.ds(i0, tile_rows + k - 1), :].astype(jnp.bfloat16)
     # stage 1: columns — Q[r, j, dj] = block[r, j+dj]
     q = jnp.stack([block[:, dj:dj + wp] for dj in range(k)], axis=-1)
     # stage 2: rows, concatenated along the LAST axis so the final collapse is
@@ -57,15 +58,14 @@ def _patches(img_ref, t_idx, tile_rows, wp, k, hp):
     p = p4.reshape(tile_rows * wp, k * k)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows * wp, 1), 0)
     valid = (i0 + rows // wp) < hp
-    return jnp.where(valid, p, 0.0), valid
+    return jnp.where(valid, p, jnp.bfloat16(0)), valid
 
 
 def _fwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                 out_ref, *, k: int, wp: int, hp: int, tile_rows: int, R: int,
                 K: int, D: int, act_kind: str):
     t_idx = pl.program_id(1)
-    p, _ = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
-    p16 = p.astype(jnp.bfloat16)
+    p16, _ = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
     pre1 = jnp.dot(p16, wc_ref[...],
                    preferred_element_type=jnp.float32) + bc_ref[...]
     h1 = _act(pre1, act_kind)                            # (Tr*Wp, R*K)
@@ -134,8 +134,7 @@ def _bwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
-    p, valid = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
-    p16 = p.astype(jnp.bfloat16)
+    p16, valid = _patches(img_ref, t_idx, tile_rows, wp, k, hp)
     pre1 = jnp.dot(p16, wc_ref[...].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32) + bc_ref[...]
     h1 = _act(pre1, act_kind)
