@@ -47,8 +47,9 @@ def _patches(img_ref, t_idx, tile_rows, wp, k, hp):
     """
     i0 = t_idx * tile_rows
     # ref-level dynamic slice (value-level dynamic_slice is not lowered);
-    # bf16 halves the slice-copy traffic of the patch build
-    block = img_ref[0, pl.ds(i0, tile_rows + k - 1), :].astype(jnp.bfloat16)
+    # patch assembly stays f32 (Mosaic can't insert minor dims on 16-bit),
+    # cast to bf16 at the end
+    block = img_ref[0, pl.ds(i0, tile_rows + k - 1), :]
     # stage 1: columns — Q[r, j, dj] = block[r, j+dj]
     q = jnp.stack([block[:, dj:dj + wp] for dj in range(k)], axis=-1)
     # stage 2: rows, concatenated along the LAST axis so the final collapse is
@@ -58,7 +59,7 @@ def _patches(img_ref, t_idx, tile_rows, wp, k, hp):
     p = p4.reshape(tile_rows * wp, k * k)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_rows * wp, 1), 0)
     valid = (i0 + rows // wp) < hp
-    return jnp.where(valid, p, jnp.bfloat16(0)), valid
+    return jnp.where(valid, p, 0.0).astype(jnp.bfloat16), valid
 
 
 def _fwd_kernel(img_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
