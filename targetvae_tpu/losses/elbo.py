@@ -64,6 +64,12 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     """Returns scalar (elbo, log_p_x_g_z, kl_div), batch means.
 
     x_coord: (N, 2) base pixel coordinates; y: (B, H, W, C) images.
+
+    Note: on the bf16/TPU fast path the reconstruction uses the pose-aware
+    decoder kernel, which derives coordinates from (theta, dx) and the
+    STANDARD image grid (ops/coords.image_grid) — x_coord must be that grid
+    (it always is for the CLIs/Trainer). Pass compute_dtype=None to decode
+    arbitrary x_coord.
     """
     ecfg, gcfg, lcfg = cfg.encoder, cfg.generator, cfg.likelihood
     b = y.shape[0]
