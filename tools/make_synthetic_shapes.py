@@ -57,7 +57,7 @@ def make_split(n, k_classes, image_dim, max_shift, rng):
         canvas = np.zeros((image_dim, image_dim), np.float32)
         canvas[off:off + 28, off:off + 28] = draw_shape(labels[i], rng)
         plain[i] = np.clip(canvas, 0, 255).astype(np.uint8)
-        rot = ndimage.rotate(canvas, np.degrees(thetas[i]), reshape=False,
+        rot = ndimage.rotate(canvas, -np.degrees(thetas[i]), reshape=False,
                              order=1, mode="constant")
         shifted = ndimage.shift(rot, (-shifts[i, 1], shifts[i, 0]), order=1,
                                 mode="constant")

@@ -51,7 +51,7 @@ def transform_digits(digits: np.ndarray, image_dim: int, thetas: np.ndarray,
         canvas[off:off + digits.shape[-2], off:off + digits.shape[-1]] = \
             digits[i]
         # rotate about the center (degrees, counter-clockwise), then shift
-        rot = ndimage.rotate(canvas, np.degrees(thetas[i]), reshape=False,
+        rot = ndimage.rotate(canvas, -np.degrees(thetas[i]), reshape=False,
                              order=1, mode="constant")
         # image row axis is y-descending: +ty moves the object up
         shifted = ndimage.shift(rot, (-shifts[i, 1], shifts[i, 0]), order=1,
