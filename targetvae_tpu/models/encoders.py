@@ -29,11 +29,28 @@ from ..utils.config import EncoderConfig
 from ..utils.initializers import conv2d_init, groupconv_init, linear_init
 
 
+def _encoder_kernel_vmem_ok(cfg: EncoderConfig, tile_rows: int = 13) -> bool:
+    """Rough per-program VMEM estimate; fall back to XLA when the fused
+    kernel's working set wouldn't fit (e.g. dsprites k=64 -> 4096-wide
+    patches)."""
+    k2 = cfg.kernels_size ** 2
+    rk = cfg.groupconv * cfg.kernels_num
+    wp = attn_dim_for(cfg)
+    rows = tile_rows * wp
+    est = (k2 * rk * 2            # wc bf16
+           + rows * k2 * 6        # patch build (f32 intermediate + bf16)
+           + rows * rk * 8)       # pre1/h1 f32
+    # (the bwd dwc accumulator adds ~k2*rk*4 on top; the threshold is
+    # calibrated against the largest config known to compile, P8/k=28)
+    return est < 11 * 1024 * 1024
+
+
 def _use_encoder_kernel(cfg: EncoderConfig, compute_dtype) -> bool:
     if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
         return False
     return (compute_dtype == jnp.bfloat16 and cfg.mode == "C"
-            and cfg.in_channels == 1 and jax.default_backend() == "tpu")
+            and cfg.in_channels == 1 and jax.default_backend() == "tpu"
+            and _encoder_kernel_vmem_ok(cfg))
 
 
 def _act(name: str):
