@@ -38,11 +38,12 @@ def _encoder_kernel_vmem_ok(cfg: EncoderConfig, tile_rows: int = 13) -> bool:
     wp = attn_dim_for(cfg)
     rows = tile_rows * wp
     est = (k2 * rk * 2            # wc bf16
-           + rows * k2 * 6        # patch build (f32 intermediate + bf16)
-           + rows * rk * 8)       # pre1/h1 f32
-    # (the bwd dwc accumulator adds ~k2*rk*4 on top; the threshold is
-    # calibrated against the largest config known to compile, P8/k=28)
-    return est < 11 * 1024 * 1024
+           + rows * k2 * 2        # P tile bf16 (built in XLA)
+           + rows * rk * 8        # pre1/h1 f32
+           + k2 * rk * 4          # bwd dwc accumulator
+           + rows * rk * 4)       # bwd dpre1
+    # calibrated against the largest config known to compile (P8, k=28)
+    return est < 13 * 1024 * 1024
 
 
 def _use_encoder_kernel(cfg: EncoderConfig, compute_dtype) -> bool:
