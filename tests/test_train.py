@@ -126,3 +126,15 @@ def test_fit_smoke(tmp_path):
     assert os.path.exists(os.path.join(run, "generator.sav"))
     # periodic snapshot at epoch 2
     assert os.path.exists(os.path.join(run, "inference_epoch2.sav"))
+
+
+def test_bfloat16_compute_on_cpu_falls_back():
+    """bf16 compute dtype must work off-TPU (Pallas dispatch requires the TPU
+    backend; the XLA path handles bf16 everywhere)."""
+    model = small_model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                         minibatch_size=16,
+                                         compute_dtype="bfloat16"))
+    state = trainer.init_state(0)
+    state, (elbo, gen_loss, kl) = trainer.train_epoch(state, blob_data(32))
+    assert np.isfinite(elbo) and np.isfinite(kl)
