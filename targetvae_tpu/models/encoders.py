@@ -209,9 +209,13 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     if cfg.mode == "A":
         h = y.reshape(b, -1)
         layers = params["layers"]
-        for layer in layers[:-1]:
-            h = act(jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
-                    + layer["b"])
+        h = act(jnp.dot(h, layers[0]["w"], preferred_element_type=jnp.float32)
+                + layers[0]["b"])
+        for layer in layers[1:-1]:
+            pre = jnp.dot(h, layer["w"],
+                          preferred_element_type=jnp.float32) + layer["b"]
+            # ResidLinear option (src/models.py:242-247): act(Wx + x)
+            h = act(pre + h) if cfg.resid else act(pre)
         out = jnp.dot(h, layers[-1]["w"],
                       preferred_element_type=jnp.float32) + layers[-1]["b"]
         latent = zd + 3

@@ -7,6 +7,13 @@ axes — the encoder's 128-kernel dim and the generator's hidden dim — sharded
 over 'model' (TP). Activations follow from the param/batch shardings via
 GSPMD propagation; the posterior grid softmax contracts over the full grid,
 so XLA inserts the cross-device log-sum-exp when the R*H*W axis is sharded.
+For explicit grid sharding see grid_softmax.py (the sequence-parallel analog).
+
+Pipeline and expert parallelism are deliberate NON-GOALS at this model scale
+(SURVEY.md section 2.8): the model is ~3M parameters with two conceptual
+stages; there is nothing to pipeline or route. The axes that matter are batch
+(DP), the 128-kernel/hidden channel axes (TP), and the posterior grid /
+decoder pixel axes (SP).
 """
 
 from __future__ import annotations
