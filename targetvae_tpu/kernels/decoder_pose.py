@@ -293,12 +293,28 @@ def _vjp_bwd(n, tr, act_kind, interpret, res, g):
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def _auto_tile_rows(n: int, F: int, H: int) -> int:
+    """Largest row-tile whose bwd working set fits scoped VMEM (~12 MB):
+    f/df tiles 2*tr*n*F*4, hidden tiles 2*tr*n*H*4, u/v/p/q + dW accs."""
+    budget = 12 * 1024 * 1024
+    fixed = 2 * (n + 16) * F * 4 + 2 * F * H + F * H * 4 + H * H * 4
+    for tr in range(16, 0, -1):
+        per = tr * n * (2 * F + 2 * H) * 4
+        if fixed + per < budget:
+            return tr
+    return 1
+
+
 def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
-                       tr: int = 8, interpret: bool = False):
+                       tr: int = 0, interpret: bool = False):
     """Full pose-aware decoder: (theta (B,), dx (B,2), z (B,zd)) ->
     (B, image_dim^2, n_out). Equivalent to
     generator_apply(params, cfg, transform_coords(grid, dx, theta), z)."""
     n = image_dim
+    if tr <= 0:
+        F_ = params["fourier"]["w"].shape[1]
+        H_ = params["coord_linear"]["w"].shape[1]
+        tr = _auto_tile_rows(n, F_, H_)
     nt = -(-n // tr)
     rows_padded = nt * tr
 
