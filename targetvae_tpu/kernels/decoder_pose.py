@@ -178,12 +178,17 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
     # zero the padded du/dv rows explicitly — they'd otherwise hold garbage
     # (possibly NaN) that reaches XLA autodiff as NaN * 0
     rows_padded = du_ref.shape[1]
-    zpad = jnp.zeros((rows_padded - n, F), jnp.float32)
+    if rows_padded > n:
+        zpad = jnp.zeros((rows_padded - n, F), jnp.float32)
+        du_full = jnp.concatenate([du_t, zpad], axis=0)
+        dv_full = jnp.concatenate([dv_t, zpad], axis=0)
+    else:
+        du_full, dv_full = du_t, dv_t
 
     @pl.when(t_idx == 0)
     def _init_uv():
-        du_ref[0] = jnp.concatenate([du_t, zpad], axis=0)
-        dv_ref[0] = jnp.concatenate([dv_t, zpad], axis=0)
+        du_ref[0] = du_full
+        dv_ref[0] = dv_full
 
     @pl.when(t_idx != 0)
     def _acc_uv():
