@@ -147,38 +147,70 @@ def encoder_init(key: jax.Array, cfg: EncoderConfig) -> dict:
 # apply
 # ---------------------------------------------------------------------------
 
+def _mode_c_matrices(params: dict, cfg: EncoderConfig):
+    """Rotated conv matmul matrix, tiled bias, fused head weights."""
+    R, K, k = cfg.groupconv, cfg.kernels_num, cfg.kernels_size
+    w1 = params["conv1"]["w"]                       # (K, 1, 1, k, k)
+    rot = rotate_filter_bank(w1, R)                 # (R, K, 1, 1, k, k)
+    wc = jnp.transpose(rot, (4, 5, 2, 3, 0, 1)).reshape(k * k, R * K)
+    bc_vec = jnp.tile(params["conv1"]["b"], R)      # r-major: index r*K+o
+    wh = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
+                          params["conv_z"]["w"]], axis=1)
+    bh = jnp.concatenate([params["conv_a"]["b"], params["conv_r"]["b"],
+                          params["conv_z"]["b"]])
+    return wc, bc_vec, wh, bh
+
+
+def _split_heads(out, b, hp, R, zd):
+    D = 3 + 2 * zd
+    out = out.reshape(b, hp, hp, R, D)              # (B, H', W', R, D)
+    return (out[..., 0], out[..., 1], out[..., 2], out[..., 3:3 + zd],
+            out[..., 3 + zd:])
+
+
 def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     """Mode-C forward through the fused Pallas encoder kernel."""
     from ..kernels.lifted_encoder import fused_lifted_encoder
 
     R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
                     cfg.padding)
-    zd = cfg.z_dim
-    D = 3 + 2 * zd
     hp = attn_dim_for(cfg)
     b = y.shape[0]
-
-    w1 = params["conv1"]["w"]                       # (K, 1, 1, k, k)
-    rot = rotate_filter_bank(w1, R)                 # (R, K, 1, 1, k, k)
-    wc = jnp.transpose(rot, (4, 5, 2, 3, 0, 1)).reshape(k * k, R * K)
-    bc_vec = jnp.tile(params["conv1"]["b"], R)      # r-major: index r*K+o
-
-    wh = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
-                          params["conv_z"]["w"]], axis=1)
-    bh = jnp.concatenate([params["conv_a"]["b"], params["conv_r"]["b"],
-                          params["conv_z"]["b"]])
-
+    wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
     xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
     out = fused_lifted_encoder(
         xp, wc, bc_vec, params["conv2"]["w"], params["conv2"]["b"], wh, bh,
         k=k, wp=hp, hp=hp, R=R, K=K, act_kind=cfg.activation)
-    out = out[:, :hp * hp, :].reshape(b, hp, hp, R, D)  # (B, H', W', R, D)
-    attn = out[..., 0]
-    theta_mu = out[..., 1]
-    theta_logstd = out[..., 2]
-    z_mu = out[..., 3:3 + zd]
-    z_logstd = out[..., 3 + zd:]
-    return attn, theta_mu, theta_logstd, z_mu, z_logstd
+    return _split_heads(out[:, :hp * hp, :], b, hp, R, cfg.z_dim)
+
+
+def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
+    """Mode-C forward as XLA im2col + bf16 matmuls: for kernel sizes whose
+    fused-kernel working set exceeds VMEM (k = 64..65, cryo-EM / dsprites).
+    XLA's matmul lowering reaches ~100 TF/s where its direct conv lowering of
+    these image-sized kernels measures 25-42 TF/s."""
+    from ..kernels.lifted_encoder import build_patches
+
+    R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
+                    cfg.padding)
+    hp = attn_dim_for(cfg)
+    b = y.shape[0]
+    act = _act(cfg.activation)
+    wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
+
+    xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+    patches = build_patches(xp, k, hp, hp, 1, hp)   # (B, 1, hp*hp, k*k) bf16
+    patches = jax.lax.stop_gradient(patches[:, 0])  # (B, M, k*k)
+
+    pre1 = jnp.dot(patches, wc.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + bc_vec
+    h1 = act(pre1).astype(jnp.bfloat16).reshape(b, hp * hp, R, K)
+    pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + params["conv2"]["b"]
+    h2 = act(pre2).astype(jnp.bfloat16)
+    out = jnp.dot(h2, wh.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + bh   # (B, M, R, D)
+    return _split_heads(out, b, hp, R, cfg.z_dim)
 
 
 def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
@@ -251,6 +283,12 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     R = cfg.groupconv
     if _use_encoder_kernel(cfg, compute_dtype):
         attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_kernel(
+            params, cfg, y)
+    elif (compute_dtype == jnp.bfloat16 and cfg.in_channels == 1
+          and jax.default_backend() == "tpu"
+          and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
+        # kernel working set too big (k ~ 64): XLA im2col + matmuls
+        attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_xla_matmul(
             params, cfg, y)
     else:
         lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],

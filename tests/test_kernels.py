@@ -157,3 +157,19 @@ def test_pose_decoder_parity():
         assert not bool(jnp.isnan(b).any())
         rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
         assert rel < 0.15, rel
+
+
+def test_mode_c_xla_matmul_parity():
+    """im2col+matmul encoder path (big-k tier) vs the conv path."""
+    cfg = EncoderConfig(image_dim=14, z_dim=2, kernels_num=16, kernels_size=8,
+                        padding=3, groupconv=4)
+    params = encoder_init(jax.random.key(0), cfg)
+    y = jax.random.uniform(jax.random.key(1), (3, 14, 14, 1))
+    ref = encoder_apply(params, cfg, y, key=None)
+    attn, th_mu, th_ls, z_mu, z_ls = EN._mode_c_xla_matmul(params, cfg, y)
+    p_r = rotation_log_prior(cfg, 4)
+    assert float(jnp.abs(attn + p_r - ref["attn"]).max()) < 5e-3
+    assert float(jnp.abs(z_mu - ref["z_mu"]).max()) < 5e-3
+    g = jax.grad(lambda p: sum(jnp.sum(jnp.sin(v)) for v in
+                               EN._mode_c_xla_matmul(p, cfg, y)))(params)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
