@@ -125,3 +125,54 @@ def test_train_galaxy_smoke(tmp_path):
     runs = os.listdir(log_root)
     run = os.path.join(log_root, runs[0])
     assert os.path.exists(os.path.join(run, "generator.sav"))
+
+
+def test_cluster_dsprites(tmp_path):
+    from targetvae_tpu.cli import clustering_dsprites
+    d = 14
+    imgs = (_blobs(60, d) > 0).astype(np.uint8)
+    np.save(tmp_path / "imgs_train.npy", imgs[:40])
+    np.save(tmp_path / "imgs_test.npy", imgs[40:])
+    lat = np.random.RandomState(0).rand(60, 6).astype(np.float32)
+    lat[:, 1] = np.random.RandomState(1).randint(0, 3, 60)
+    np.save(tmp_path / "lat_train.npy", lat[:40])
+    np.save(tmp_path / "lat_test.npy", lat[40:])
+
+    log_root = str(tmp_path / "logs")
+    train_dsprites.main(["--train-path", str(tmp_path / "imgs_train.npy"),
+                         "--test-path", str(tmp_path / "imgs_test.npy"),
+                         "--image-dim", str(d), "--log-root", log_root,
+                         "--num-epochs", "1"] + COMMON[:-4]
+                        + ["-d", "-1", "--minibatch-size", "20"])
+    run = os.path.join(log_root, os.listdir(log_root)[0])
+    clustering_dsprites.main([
+        "--train-path", str(tmp_path / "imgs_train.npy"),
+        "--test-path", str(tmp_path / "imgs_test.npy"),
+        "--train-labels", str(tmp_path / "lat_train.npy"),
+        "--test-labels", str(tmp_path / "lat_test.npy"),
+        "--path-to-encoder", os.path.join(run, "inference.sav"),
+        "--n-clusters", "3", "--minibatch-size", "30", "-d", "-1"])
+    results = open(os.path.join(run, "results.txt")).read()
+    assert "accuracy for clustering" in results
+
+
+def test_cluster_galaxy(tmp_path):
+    from targetvae_tpu.cli import clustering_galaxy
+    d = 14
+    imgs = _blobs(60, d, channels=3)
+    np.save(tmp_path / "g_train.npy", imgs[:40])
+    np.save(tmp_path / "g_test.npy", imgs[40:])
+    log_root = str(tmp_path / "logs")
+    train_galaxy.main(["--train-path", str(tmp_path / "g_train.npy"),
+                       "--test-path", str(tmp_path / "g_test.npy"),
+                       "--image-dim", str(d), "--log-root", log_root,
+                       "--num-epochs", "1"] + COMMON[:-4]
+                      + ["-d", "-1", "--minibatch-size", "20"])
+    run = os.path.join(log_root, os.listdir(log_root)[0])
+    clustering_galaxy.main([
+        "--train-path", str(tmp_path / "g_train.npy"),
+        "--test-path", str(tmp_path / "g_test.npy"),
+        "--path-to-encoder", os.path.join(run, "inference.sav"),
+        "--n-clusters", "3", "--minibatch-size", "30", "-d", "-1"])
+    assert os.path.exists(os.path.join(run, "tsne.jpg"))
+    assert os.path.exists(os.path.join(run, "z_vals.jpg"))

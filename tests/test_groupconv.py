@@ -67,3 +67,25 @@ def test_rotation_equivariance():
         expect = np.rot90(y[0, :, :, (r + 1) % R, :], k=1, axes=(0, 1))
         got = y_rot[0, :, :, r, :]
         np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+@requires_reference
+def test_matches_reference_groupconv_rgb():
+    """C_in=3 (galaxy) lifted conv parity."""
+    torch = pytest.importorskip("torch")
+    from tests.helpers import import_reference_models
+    ref_models = import_reference_models()
+
+    torch.manual_seed(3)
+    B, C, n, k, R, out = 2, 3, 12, 7, 4, 5
+    gc = ref_models.GroupConv(C, out, k, padding=3, input_rot_dim=1,
+                              output_rot_dim=R)
+    x = torch.randn(B, C, n, n)
+    ref = gc(x, "cpu").detach().numpy()
+    mine = lifted_conv2d(
+        jnp.asarray(to_bhwc(x.numpy())),
+        jnp.asarray(gc.weight.detach().numpy()),
+        jnp.asarray(gc.bias.detach().numpy()),
+        R=R, padding=3)
+    mine = np.transpose(np.asarray(mine), (0, 4, 3, 1, 2))
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
