@@ -36,6 +36,14 @@ from .likelihoods import reconstruction_log_prob
 _EPS = 1e-6
 
 
+def _use_posterior_kernel(compute_dtype) -> bool:
+    import os
+    if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
+        return False
+    return (compute_dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu")
+
+
 def _use_pose_decoder(gcfg, compute_dtype) -> bool:
     import os
     from ..kernels.decoder_mlp import decoder_kernel_supported
@@ -130,6 +138,35 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         kl_th = normal_kl(tg_mu, tg_std, 0.0, ecfg.theta_prior)
         val2 = jnp.sum(jnp.exp(q_t) * (kl_th + kl_z), axis=1)
         kl_div = jnp.mean(val1 + val2)
+
+    elif ecfg.mode == "C" and _use_posterior_kernel(compute_dtype):
+        # fused posterior kernel: softmax + Gumbel + moments + KL in one pass
+        from ..kernels.posterior import fused_posterior
+        from ..models.encoders import attn_dim_for
+        R = ecfg.groupconv
+        ad = attn_dim_for(ecfg)
+        M = ad * ad
+        sig_r = np.pi / R if R >= 1 else ecfg.theta_prior
+        p_t = _translation_log_prior(np.asarray(attention_grid(ad, ecfg.image_dim)))
+        p_tr = jax.nn.log_softmax(
+            (jnp.asarray(p_t)[:, None] + enc["p_r"]).reshape(-1))
+        p_tr = p_tr.reshape(M, R).T                               # (R, M)
+        to_rm = lambda v: jnp.transpose(v, (0, 3, 1, 2)).reshape(b, R, M)
+        z_rm = lambda v: jnp.transpose(v, (0, 4, 3, 1, 2)).reshape(
+            b, ecfg.z_dim, R, M)
+        post = fused_posterior(
+            k_enc, to_rm(enc["attn"]), to_rm(enc["theta_mu"]),
+            to_rm(enc["theta_logstd"]), z_rm(enc["z_mu"]),
+            z_rm(enc["z_logstd"]),
+            p_tr, jnp.asarray(attention_grid(ad, ecfg.image_dim)),
+            enc["offsets"], sig_r)
+        z = (post["z_std_e"] * jax.random.normal(k_z, (b, ecfg.z_dim))
+             + post["z_mu_e"])
+        theta = (post["theta_std_e"] * jax.random.normal(k_theta, (b,))
+                 + post["theta_mu_e"])
+        dx = post["dx"]
+        kl_div = jnp.mean(post["kl"])
+        x_t = transform_coords(x_coord, dx, theta)
 
     else:  # mode C
         R = ecfg.groupconv

@@ -173,3 +173,69 @@ def test_mode_c_xla_matmul_parity():
     g = jax.grad(lambda p: sum(jnp.sum(jnp.sin(v)) for v in
                                EN._mode_c_xla_matmul(p, cfg, y)))(params)
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+def test_fused_posterior_parity():
+    """Fused posterior kernel (deterministic) vs a pure-jnp transcription of
+    the mode-C posterior math, fwd + hand-derived VJP."""
+    from targetvae_tpu.kernels.posterior import fused_posterior
+
+    B, R, M, zd = 3, 4, 25, 2
+    k = jax.random.split(jax.random.key(0), 8)
+    attn = jax.random.normal(k[0], (B, R, M)) * 2
+    th_mu = jax.random.normal(k[1], (B, R, M))
+    th_ls = jax.random.normal(k[2], (B, R, M)) * 0.3
+    z_mu = jax.random.normal(k[3], (B, zd, R, M))
+    z_ls = jax.random.normal(k[4], (B, zd, R, M)) * 0.3
+    p_tr = jax.nn.log_softmax(
+        jax.random.normal(k[5], (R, M)).reshape(-1)).reshape(R, M)
+    grid = jax.random.normal(k[6], (M, 2))
+    offs = jnp.asarray([0, np.pi / 2, np.pi, -np.pi / 2])
+    sig_r = np.pi / 4
+    EPS = 1e-6
+
+    def ref(attn, th_mu, th_ls, z_mu, z_ls):
+        q = jax.nn.log_softmax(attn.reshape(B, -1), -1).reshape(B, R, M)
+        eq = jnp.exp(q)
+        a = eq
+        dx = jnp.einsum("bm,mj->bj", a.sum(1), grid)
+        th_std = jnp.exp(th_ls) + EPS
+        z_std = jnp.exp(z_ls) + EPS
+        dead = eq == 0
+        tqm = jnp.where(dead, 0., th_mu)
+        tqs = jnp.where(dead, 1., th_std)
+        ob = offs[None, :, None]
+        kl_th = (jnp.log(sig_r / tqs)
+                 + (tqs ** 2 + (tqm - ob) ** 2) / (2 * sig_r ** 2) - 0.5)
+        zqm = jnp.where(dead[:, None], 0., z_mu)
+        zqs = jnp.where(dead[:, None], 1., z_std)
+        kl_z = (-jnp.log(zqs) + 0.5 * (zqs ** 2 + zqm ** 2) - 0.5).sum(1)
+        kl = (jnp.sum(eq * (q - p_tr), (1, 2))
+              + jnp.sum(eq * (kl_th + kl_z), (1, 2)))
+        return {"z_mu_e": jnp.einsum("brm,bdrm->bd", a, z_mu),
+                "z_std_e": jnp.einsum("brm,bdrm->bd", a, z_std),
+                "theta_mu_e": jnp.sum(a * th_mu, (1, 2)),
+                "theta_std_e": jnp.sum(a * th_std, (1, 2)),
+                "dx": dx, "kl": kl}
+
+    args = (attn, th_mu, th_ls, z_mu, z_ls)
+    r = ref(*args)
+    kout = fused_posterior(jax.random.key(9), *args, p_tr, grid, offs, sig_r,
+                           deterministic=True, interpret=True)
+    for name in r:
+        assert float(jnp.abs(r[name] - kout[name]).max()) < 1e-4, name
+
+    def loss_ref(a_):
+        return sum(jnp.sum(jnp.sin(v)) for v in ref(*a_).values())
+
+    def loss_ker(a_):
+        o = fused_posterior(jax.random.key(9), *a_, p_tr, grid, offs, sig_r,
+                            deterministic=True, interpret=True)
+        return sum(jnp.sum(jnp.sin(v)) for v in o.values())
+
+    gr = jax.grad(loss_ref)(args)
+    gk = jax.grad(loss_ker)(args)
+    for a_, b_ in zip(gr, gk):
+        assert not bool(jnp.isnan(b_).any())
+        rel = float(jnp.linalg.norm(a_ - b_) / (jnp.linalg.norm(a_) + 1e-9))
+        assert rel < 1e-4, rel
