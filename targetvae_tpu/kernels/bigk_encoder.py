@@ -42,7 +42,7 @@ def bigk_supported(cfg, splits: int = 2) -> bool:
     if cfg.groupconv % splits:
         return False
     # wc split bf16 + patch tile + per-split activations, x1.4 Mosaic fudge
-    tile = 4 * (cfg.image_dim + 2 * cfg.padding - cfg.kernels_size + 1)
+    tile = 2 * (cfg.image_dim + 2 * cfg.padding - cfg.kernels_size + 1)
     est = kk * rk // splits * 2 + tile * kk * 2 + 3 * tile * rk // splits * 4
     return est * 1.4 < 14 * 1024 * 1024
 
@@ -235,7 +235,7 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 def fused_lifted_encoder_bigk(xp, wc, bc_vec, w2, b2, wh, bh, *, k: int,
                               wp: int, hp: int, R: int, K: int,
-                              splits: int = 2, tile_rows: int = 4,
+                              splits: int = 2, tile_rows: int = 2,
                               act_kind: str = "leakyrelu",
                               interpret: bool = False):
     """Like lifted_encoder.fused_lifted_encoder but with the rotation axis

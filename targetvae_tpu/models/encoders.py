@@ -306,12 +306,14 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
           and jax.default_backend() == "tpu"
           and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
         from ..kernels.bigk_encoder import bigk_supported
-        if bigk_supported(cfg):
-            # rotation-split kernel with two-phase backward (k ~ 64)
+        if os.environ.get("TARGETVAE_BIGK_KERNEL") and bigk_supported(cfg):
+            # rotation-split kernel with two-phase backward — measured SLOWER
+            # than the XLA im2col tier at k=64 (182 vs 229 img/s: small tiles
+            # + S patch re-reads dominate); opt-in pending tuning
             attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_bigk(
                 params, cfg, y)
         else:
-            # last resort: XLA im2col + matmuls
+            # big-k default: XLA im2col + bf16 matmuls
             attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_xla_matmul(
                 params, cfg, y)
     else:
