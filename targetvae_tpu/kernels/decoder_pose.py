@@ -65,9 +65,9 @@ def _features(u, v, p, q, tr, n, F):
     return f3.reshape(tr * n, F)
 
 
-def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, w3_ref, b3_ref, y_ref, *, n: int, tr: int,
-                act_kind: str):
+def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
+                bh_ref, w3_ref, b3_ref, y_ref, *, n: int, tr: int,
+                L: int, act_kind: str):
     b_idx = pl.program_id(0)
     F = u_ref.shape[-1]
     u = u_ref[0, :n, :]
@@ -78,23 +78,24 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
     f16 = f.astype(jnp.bfloat16)
     pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
             + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
-    h1 = _act(pre1, act_kind).astype(jnp.bfloat16)
-    pre2 = jnp.dot(h1, w2_ref[...],
-                   preferred_element_type=jnp.float32) + b2_ref[...]
-    h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
-    y = jnp.dot(h2, w3_ref[...], preferred_element_type=jnp.float32)
+    h = _act(pre1, act_kind).astype(jnp.bfloat16)
+    for l in range(L):   # static depth: hidden layers beyond coord_linear
+        pre = jnp.dot(h, wh_ref[l],
+                      preferred_element_type=jnp.float32) + bh_ref[l]
+        h = _act(pre, act_kind).astype(jnp.bfloat16)
+    y = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
     y_ref[0, 0] = y + b3_ref[...]
 
 
-def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, w3_ref, g_ref,
+def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
+                bh_ref, w3_ref, g_ref,
                 du_ref, dv_ref, dp_ref, dq_ref, dhz_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, dw3_ref, db3_ref, *, n: int, tr: int,
-                hp_rows: int, act_kind: str):
+                dwh_ref, dbh_ref, dw3_ref, db3_ref, *, n: int, tr: int,
+                hp_rows: int, L: int, act_kind: str):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     F = u_ref.shape[-1]
-    H = w2_ref.shape[0]
+    H = wh_ref.shape[1]
 
     u = u_ref[0, :n, :]
     v = v_ref[0, :n, :]
@@ -112,30 +113,36 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
             + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
     h1 = _act(pre1, act_kind)
     h1_16 = h1.astype(jnp.bfloat16)
-    pre2 = jnp.dot(h1_16, w2_ref[...],
-                   preferred_element_type=jnp.float32) + b2_ref[...]
-    h2 = _act(pre2, act_kind)
-    h2_16 = h2.astype(jnp.bfloat16)
+    pres = []          # pre-activations of the L hidden layers (static list)
+    hs16 = [h1_16]     # bf16 activations feeding each hidden layer / out
+    for l in range(L):
+        pre = jnp.dot(hs16[-1], wh_ref[l],
+                      preferred_element_type=jnp.float32) + bh_ref[l]
+        pres.append(pre)
+        hs16.append(_act(pre, act_kind).astype(jnp.bfloat16))
 
     g = g_ref[0, 0]                                     # (tr*n, n_out)
     pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
     g = jnp.where(pix_ok, g, 0.0)
     g16 = g.astype(jnp.bfloat16)
 
-    dw3 = jax.lax.dot_general(h2_16, g16, (((0,), (0,)), ((), ())),
+    dw3 = jax.lax.dot_general(hs16[-1], g16, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     db3 = jnp.sum(g, axis=0, keepdims=True)
-    dh2 = jax.lax.dot_general(g16, w3_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dpre2 = dh2 * _dact(pre2, act_kind)
-    dpre2_16 = dpre2.astype(jnp.bfloat16)
-
-    dw2 = jax.lax.dot_general(h1_16, dpre2_16, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    db2 = jnp.sum(dpre2, axis=0, keepdims=True)
-    dh1 = jax.lax.dot_general(dpre2_16, w2_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dpre1 = dh1 * _dact(pre1, act_kind)
+    dh = jax.lax.dot_general(g16, w3_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dwh_l = [None] * L
+    dbh_l = [None] * L
+    for l in range(L - 1, -1, -1):
+        dpre = dh * _dact(pres[l], act_kind)
+        dpre_16 = dpre.astype(jnp.bfloat16)
+        dwh_l[l] = jax.lax.dot_general(hs16[l], dpre_16,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dbh_l[l] = jnp.sum(dpre, axis=0, keepdims=True)
+        dh = jax.lax.dot_general(dpre_16, wh_ref[l], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dpre1 = dh * _dact(pre1, act_kind)
     dpre1 = jnp.where(pix_ok, dpre1, 0.0)
     dpre1_16 = dpre1.astype(jnp.bfloat16)
 
@@ -158,8 +165,9 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
     def _init():
         dw1_ref[...] = dw1
         db1_ref[...] = db1
-        dw2_ref[...] = dw2
-        db2_ref[...] = db2
+        for l in range(L):
+            dwh_ref[l] = dwh_l[l]
+            dbh_ref[l] = dbh_l[l]
         dw3_ref[...] = dw3
         db3_ref[...] = db3
         dhz_ref[...] = jnp.zeros(dhz_ref.shape, dhz_ref.dtype)
@@ -168,8 +176,9 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
     def _acc():
         dw1_ref[...] += dw1
         db1_ref[...] += db1
-        dw2_ref[...] += dw2
-        db2_ref[...] += db2
+        for l in range(L):
+            dwh_ref[l] += dwh_l[l]
+            dbh_ref[l] += dbh_l[l]
         dw3_ref[...] += dw3
         db3_ref[...] += db3
 
@@ -196,7 +205,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, w2_ref,
         dv_ref[0, :n, :] += dv_t
 
 
-def _specs(B, nt, tr, n, F, H, n_out, rows_padded):
+def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
     uv = pl.BlockSpec((1, rows_padded, F), lambda b, t: (b, 0, 0))
     pq = pl.BlockSpec((1, 1, tr, F), lambda b, t: (b, t, 0, 0))
     return {
@@ -204,12 +213,19 @@ def _specs(B, nt, tr, n, F, H, n_out, rows_padded):
         "hz": pl.BlockSpec((B, H), lambda b, t: (0, 0)),
         "w1": pl.BlockSpec((F, H), lambda b, t: (0, 0)),
         "b1": pl.BlockSpec((1, H), lambda b, t: (0, 0)),
-        "w2": pl.BlockSpec((H, H), lambda b, t: (0, 0)),
-        "b2": pl.BlockSpec((1, H), lambda b, t: (0, 0)),
+        "wh": pl.BlockSpec((L, H, H), lambda b, t: (0, 0, 0)),
+        "bh": pl.BlockSpec((L, 1, H), lambda b, t: (0, 0, 0)),
         "w3": pl.BlockSpec((H, n_out), lambda b, t: (0, 0)),
         "b3": pl.BlockSpec((1, n_out), lambda b, t: (0, 0)),
         "y": pl.BlockSpec((1, 1, tr * n, n_out), lambda b, t: (b, t, 0, 0)),
     }
+
+
+def _stack_hidden(w2, b2):
+    """(L, H, H) bf16 weights + (L, 1, H) f32 biases from the hidden list."""
+    wh = jnp.stack([w.astype(jnp.bfloat16) for w in w2])
+    bh = jnp.stack([b.reshape(1, -1) for b in b2])
+    return wh, bh
 
 
 def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
@@ -217,21 +233,22 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
     B, rows_padded, F = u.shape
     nt = p4.shape[1]
     H = w1.shape[1]
+    L = len(w2)
     n_out = w3.shape[1]
-    sp = _specs(B, nt, tr, n, F, H, n_out, rows_padded)
+    sp = _specs(B, nt, tr, n, F, H, L, n_out, rows_padded)
+    wh, bh = _stack_hidden(w2, b2)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n=n, tr=tr, act_kind=act_kind),
+        functools.partial(_fwd_kernel, n=n, tr=tr, L=L, act_kind=act_kind),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
-                  sp["b1"], sp["w2"], sp["b2"], sp["w3"], sp["b3"]],
+                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["b3"]],
         out_specs=sp["y"],
         out_shape=jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
-      w2.astype(jnp.bfloat16), b2.reshape(1, H), w3.astype(jnp.bfloat16),
-      b3.reshape(1, n_out))
+      wh, bh, w3.astype(jnp.bfloat16), b3.reshape(1, n_out))
 
 
 def _bwd(res, g, *, n, tr, act_kind, interpret):
@@ -239,8 +256,10 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
     B, rows_padded, F = u.shape
     nt = p4.shape[1]
     H = w1.shape[1]
+    L = len(w2)
     n_out = w3.shape[1]
-    sp = _specs(B, nt, tr, n, F, H, n_out, rows_padded)
+    sp = _specs(B, nt, tr, n, F, H, L, n_out, rows_padded)
+    wh, bh = _stack_hidden(w2, b2)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, rows_padded, F), jnp.float32),   # du
@@ -250,30 +269,32 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
         jax.ShapeDtypeStruct((B, H), jnp.float32),                # dhz
         jax.ShapeDtypeStruct((F, H), jnp.float32),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
-        jax.ShapeDtypeStruct((H, H), jnp.float32),
-        jax.ShapeDtypeStruct((1, H), jnp.float32),
+        jax.ShapeDtypeStruct((L, H, H), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, H), jnp.float32),
         jax.ShapeDtypeStruct((H, n_out), jnp.float32),
         jax.ShapeDtypeStruct((1, n_out), jnp.float32),
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n=n, tr=tr, hp_rows=n,
+        functools.partial(_bwd_kernel, n=n, tr=tr, hp_rows=n, L=L,
                           act_kind=act_kind),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
-                  sp["b1"], sp["w2"], sp["b2"], sp["w3"], sp["y"]],
+                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]],
         out_specs=(sp["u"], sp["v"], sp["p"], sp["q"],
                    pl.BlockSpec((B, H), lambda b, t: (0, 0)),
-                   sp["w1"], sp["b1"], sp["w2"], sp["b2"], sp["w3"],
+                   sp["w1"], sp["b1"], sp["wh"], sp["bh"], sp["w3"],
                    sp["b3"]),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
-      w2.astype(jnp.bfloat16), b2.reshape(1, H), w3.astype(jnp.bfloat16), g)
+      wh, bh, w3.astype(jnp.bfloat16), g)
 
-    du, dv, dp, dq, dhz, dw1, db1, dw2, db2, dw3, db3 = outs
-    return (du, dv, dp, dq, dhz, dw1, db1.reshape(H), dw2, db2.reshape(H),
+    du, dv, dp, dq, dhz, dw1, db1, dwh, dbh, dw3, db3 = outs
+    dw2 = tuple(dwh[l] for l in range(L))
+    db2 = tuple(dbh[l, 0] for l in range(L))
+    return (du, dv, dp, dq, dhz, dw1, db1.reshape(H), dw2, db2,
             dw3, db3.reshape(n_out))
 
 
@@ -298,15 +319,23 @@ def _vjp_bwd(n, tr, act_kind, interpret, res, g):
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def _auto_tile_rows(n: int, F: int, H: int) -> int:
+def pose_decoder_supported(cfg) -> bool:
+    """The pose kernel covers any depth (static hidden-layer loop); it needs
+    the Fourier expansion (for the separable phase) and no resid skips."""
+    return (cfg.fourier_expansion and cfg.num_layers >= 2 and not cfg.resid
+            and cfg.z_dim > 0)
+
+
+def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
     """Largest row-tile whose bwd working set fits scoped VMEM:
-    f/df tiles 2*tr*n*F*4, hidden tiles 2*tr*n*H*4, u/v/p/q + dW accs.
+    f/df tiles 2*tr*n*F*4, hidden tiles (L+1)*2*tr*n*H*4, u/v/p/q + dW accs.
     The estimate undercounts Mosaic's actual scoped usage by ~1.4x (measured),
     so the budget is set well under the 16 MB limit."""
     budget = 9 * 1024 * 1024
-    fixed = 2 * (n + 16) * F * 4 + 2 * F * H + F * H * 4 + H * H * 4
+    fixed = (2 * (n + 16) * F * 4 + 2 * F * H + F * H * 4
+             + L * (H * H * 6))
     for tr in range(16, 0, -1):
-        per = tr * n * (2 * F + 2 * H) * 4
+        per = tr * n * (2 * F + 2 * (L + 1) * H) * 4
         if fixed + per < budget:
             return tr
     return 1
@@ -321,7 +350,7 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
     if tr <= 0:
         F_ = params["fourier"]["w"].shape[1]
         H_ = params["coord_linear"]["w"].shape[1]
-        tr = _auto_tile_rows(n, F_, H_)
+        tr = _auto_tile_rows(n, F_, H_, len(params["hidden"]))
     nt = -(-n // tr)
     rows_padded = nt * tr
 
@@ -338,7 +367,8 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
                  preferred_element_type=jnp.float32)
     y = _fused(n, tr, cfg.activation, interpret, u, v, p4, q4, hz,
                params["coord_linear"]["w"], params["coord_linear"]["b"],
-               params["hidden"][0]["w"], params["hidden"][0]["b"],
+               tuple(h["w"] for h in params["hidden"]),
+               tuple(h["b"] for h in params["hidden"]),
                params["out"]["w"], params["out"]["b"])
     n_out = y.shape[-1]
     return y.reshape(B, rows_padded * n, n_out)[:, :n * n, :]

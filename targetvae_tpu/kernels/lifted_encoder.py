@@ -1,4 +1,4 @@
-"""Fused lifted-group-conv + heads encoder kernel (mode C, C_in=1).
+"""Fused lifted-group-conv + heads encoder kernel (mode C, any C_in).
 
 The TARGET-VAE encoder lifts the image with an image-sized rotated filter bank
 (k = 28..65, R*K up to 2048 output channels), applies a 1x1x1 mixing conv and
@@ -34,27 +34,35 @@ from .decoder_mlp import _act, _dact
 
 
 def encoder_kernel_supported(cfg) -> bool:
-    return cfg.mode == "C" and cfg.in_channels == 1
+    return cfg.mode == "C"
 
 
 def build_patches(xp: jnp.ndarray, k: int, wp: int, hp: int, nt: int,
                   tile_rows: int) -> jnp.ndarray:
-    """im2col in XLA: xp (B, n2, n2) -> bf16 (B, nt, tile_rows*wp, k*k) with
-    column order di*k + dj (matching the Wc flatten) and zero rows beyond hp.
+    """im2col in XLA: xp (B, n2, n2) or (B, n2, n2, C) -> bf16
+    (B, nt, tile_rows*wp, C*k*k) with column order c*k*k + di*k + dj
+    (channel-major, matching the Wc flatten) and zero rows beyond hp.
     """
-    B = xp.shape[0]
-    q = jnp.stack([xp[:, :, dj:dj + wp] for dj in range(k)], axis=-1)
-    q = q.astype(jnp.bfloat16)                       # (B, n2, wp, k)
+    if xp.ndim == 3:
+        xp = xp[..., None]
+    B, C = xp.shape[0], xp.shape[-1]
     rows_padded = nt * tile_rows
-    if q.shape[1] < rows_padded + k - 1:
-        q = jnp.pad(q, ((0, 0), (0, rows_padded + k - 1 - q.shape[1]),
-                        (0, 0), (0, 0)))
-    p = jnp.concatenate([q[:, di:di + rows_padded] for di in range(k)],
-                        axis=-1)                     # (B, rows, wp, k*k)
+    chans = []
+    for c in range(C):
+        x = xp[..., c]
+        q = jnp.stack([x[:, :, dj:dj + wp] for dj in range(k)], axis=-1)
+        q = q.astype(jnp.bfloat16)                   # (B, n2, wp, k)
+        if q.shape[1] < rows_padded + k - 1:
+            q = jnp.pad(q, ((0, 0), (0, rows_padded + k - 1 - q.shape[1]),
+                            (0, 0), (0, 0)))
+        chans.append(jnp.concatenate(
+            [q[:, di:di + rows_padded] for di in range(k)],
+            axis=-1))                                # (B, rows, wp, k*k)
+    p = jnp.concatenate(chans, axis=-1) if C > 1 else chans[0]
     if rows_padded > hp:
         mask = (jnp.arange(rows_padded) < hp)[None, :, None, None]
         p = jnp.where(mask, p, jnp.bfloat16(0))
-    return p.reshape(B, nt, tile_rows * wp, k * k)
+    return p.reshape(B, nt, tile_rows * wp, C * k * k)
 
 
 def _fwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
@@ -244,8 +252,9 @@ def fused_lifted_encoder(xp, wc, bc_vec, w2, b2, wh, bh, *, k: int, wp: int,
                          interpret: bool = False):
     """Run the fused encoder.
 
-    xp: (B, n2, n2) pre-padded images (n2 = n + 2*padding).
-    wc: (k*k, R*K) rotated conv weights as a matmul matrix, r-major output.
+    xp: (B, n2, n2) or (B, n2, n2, C) pre-padded images (n2 = n + 2*padding).
+    wc: (C*k*k, R*K) rotated conv weights as a matmul matrix (channel-major
+        rows), r-major output.
     bc_vec: (R*K,) bias tiled over R. w2/b2: mixing; wh/bh: fused heads (K, D).
     Returns (B, nt*tile_rows*wp, R*D) f32; caller slices [:, :hp*wp] and
     reshapes to (B, hp, wp, R, D).

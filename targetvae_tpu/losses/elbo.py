@@ -46,11 +46,11 @@ def _use_posterior_kernel(compute_dtype) -> bool:
 
 def _use_pose_decoder(gcfg, compute_dtype) -> bool:
     import os
-    from ..kernels.decoder_mlp import decoder_kernel_supported
+    from ..kernels.decoder_pose import pose_decoder_supported
     if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
         return False
     return (compute_dtype == jnp.bfloat16
-            and decoder_kernel_supported(gcfg)
+            and pose_decoder_supported(gcfg)
             and jax.default_backend() == "tpu")
 
 

@@ -33,7 +33,7 @@ def _encoder_kernel_vmem_ok(cfg: EncoderConfig, tile_rows: int = 13) -> bool:
     """Rough per-program VMEM estimate; fall back to XLA when the fused
     kernel's working set wouldn't fit (e.g. dsprites k=64 -> 4096-wide
     patches)."""
-    k2 = cfg.kernels_size ** 2
+    k2 = cfg.kernels_size ** 2 * cfg.in_channels
     rk = cfg.groupconv * cfg.kernels_num
     wp = attn_dim_for(cfg)
     rows = tile_rows * wp
@@ -50,7 +50,7 @@ def _use_encoder_kernel(cfg: EncoderConfig, compute_dtype) -> bool:
     if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
         return False
     return (compute_dtype == jnp.bfloat16 and cfg.mode == "C"
-            and cfg.in_channels == 1 and jax.default_backend() == "tpu"
+            and jax.default_backend() == "tpu"
             and _encoder_kernel_vmem_ok(cfg))
 
 
@@ -150,9 +150,10 @@ def encoder_init(key: jax.Array, cfg: EncoderConfig) -> dict:
 def _mode_c_matrices(params: dict, cfg: EncoderConfig):
     """Rotated conv matmul matrix, tiled bias, fused head weights."""
     R, K, k = cfg.groupconv, cfg.kernels_num, cfg.kernels_size
-    w1 = params["conv1"]["w"]                       # (K, 1, 1, k, k)
-    rot = rotate_filter_bank(w1, R)                 # (R, K, 1, 1, k, k)
-    wc = jnp.transpose(rot, (4, 5, 2, 3, 0, 1)).reshape(k * k, R * K)
+    w1 = params["conv1"]["w"]                       # (K, C, 1, k, k)
+    rot = rotate_filter_bank(w1, R)                 # (R, K, C, 1, k, k)
+    # channel-major rows (c*k*k + di*k + dj) matching build_patches columns
+    wc = jnp.transpose(rot, (2, 3, 4, 5, 0, 1)).reshape(-1, R * K)
     bc_vec = jnp.tile(params["conv1"]["b"], R)      # r-major: index r*K+o
     wh = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
                           params["conv_z"]["w"]], axis=1)
@@ -177,7 +178,7 @@ def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     hp = attn_dim_for(cfg)
     b = y.shape[0]
     wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
-    xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
+    xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     out = fused_lifted_encoder(
         xp, wc, bc_vec, params["conv2"]["w"], params["conv2"]["b"], wh, bh,
         k=k, wp=hp, hp=hp, R=R, K=K, act_kind=cfg.activation)
@@ -216,9 +217,9 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     act = _act(cfg.activation)
     wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
 
-    xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
-    patches = build_patches(xp, k, hp, hp, 1, hp)   # (B, 1, hp*hp, k*k) bf16
-    patches = jax.lax.stop_gradient(patches[:, 0])  # (B, M, k*k)
+    xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    patches = build_patches(xp, k, hp, hp, 1, hp)   # (B, 1, hp*hp, C*k*k)
+    patches = jax.lax.stop_gradient(patches[:, 0])  # (B, M, C*k*k)
 
     pre1 = jnp.dot(patches, wc.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32) + bc_vec
@@ -302,7 +303,7 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     if _use_encoder_kernel(cfg, compute_dtype):
         attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_kernel(
             params, cfg, y)
-    elif (compute_dtype == jnp.bfloat16 and cfg.in_channels == 1
+    elif (compute_dtype == jnp.bfloat16
           and jax.default_backend() == "tpu"
           and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
         from ..kernels.bigk_encoder import bigk_supported

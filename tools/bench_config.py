@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Per-config training-step benchmark on the attached TPU chip.
+
+Usage: python tools/bench_config.py {mnist|dsprites|galaxy|particles}
+           [--batch N] [--steps N] [--f32]
+
+Measures the full jitted train step (ELBO fwd + bwd + Adam) on synthetic
+data shaped like the named dataset config (BASELINE.json configs). Used for
+the secondary rows in BENCH_NOTES.md; the official flagship bench is
+bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def build(name: str):
+    from targetvae_tpu.utils.config import (EncoderConfig, GeneratorConfig,
+                                            LikelihoodConfig, ModelConfig)
+    if name == "mnist":
+        from __graft_entry__ import _flagship_config
+        return _flagship_config(), 50, 1, None
+    if name == "dsprites":
+        image_dim = 64
+        cfg = ModelConfig(
+            generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=1,
+                                      num_layers=2, fourier_expansion=True,
+                                      fourier_sigma=0.01),
+            encoder=EncoderConfig(t_inf="attention",
+                                  r_inf="attention+offsets",
+                                  image_dim=image_dim, in_channels=1, z_dim=2,
+                                  kernels_num=128, kernels_size=64,
+                                  padding=32, groupconv=8,
+                                  theta_prior=np.pi,
+                                  normal_prior_over_r=False),
+            likelihood=LikelihoodConfig(kind="bernoulli"))
+        return cfg, image_dim, 1, None
+    if name == "galaxy":
+        image_dim = 64
+        cfg = ModelConfig(
+            generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=3,
+                                      num_layers=4, fourier_expansion=True,
+                                      fourier_sigma=2.0 / (image_dim - 1)),
+            encoder=EncoderConfig(t_inf="attention",
+                                  r_inf="attention+offsets",
+                                  image_dim=image_dim, in_channels=3, z_dim=2,
+                                  kernels_num=128, kernels_size=65,
+                                  padding=16, groupconv=8,
+                                  theta_prior=np.pi,
+                                  normal_prior_over_r=False),
+            likelihood=LikelihoodConfig(kind="bernoulli"))
+        return cfg, image_dim, 3, None
+    if name == "particles":
+        image_dim = 110
+        cfg = ModelConfig(
+            generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=1,
+                                      num_layers=2, fourier_expansion=True,
+                                      fourier_sigma=2.0 / (image_dim - 1)),
+            encoder=EncoderConfig(t_inf="attention",
+                                  r_inf="attention+offsets",
+                                  image_dim=image_dim, in_channels=1, z_dim=2,
+                                  kernels_num=128, kernels_size=64,
+                                  padding=16, groupconv=8,
+                                  theta_prior=np.pi,
+                                  normal_prior_over_r=False),
+            likelihood=LikelihoodConfig(kind="gaussian"))
+        return cfg, image_dim, 1, None
+    raise SystemExit(f"unknown config {name!r}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", choices=["mnist", "dsprites", "galaxy",
+                                       "particles"])
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.utils.config import TrainConfig
+
+    cfg, n, c, _ = build(args.config)
+    batch = args.batch or {"mnist": 100, "dsprites": 50, "galaxy": 50,
+                           "particles": 50}[args.config]
+    dtype = None if args.f32 else "bfloat16"
+    model = TargetVAE(cfg)
+    trainer = Trainer(model, TrainConfig(learning_rate=2e-4,
+                                         compute_dtype=dtype))
+    state = trainer.init_state(0)
+    y = jax.random.uniform(jax.random.key(1), (batch, n, n, c))
+
+    t0 = time.time()
+    state, m = trainer._train_step(state, y)
+    jax.device_get(m)
+    print(f"# compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, m = trainer._train_step(state, y)
+    jax.device_get(m)
+    dt = (time.time() - t0) / args.steps
+    print(f"{args.config} batch={batch} dtype={dtype or 'f32'}: "
+          f"{dt * 1e3:.1f} ms/step = {batch / dt:.1f} images/sec")
+
+
+if __name__ == "__main__":
+    main()
