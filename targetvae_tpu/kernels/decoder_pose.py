@@ -65,9 +65,19 @@ def _features(u, v, p, q, tr, n, F):
     return f3.reshape(tr * n, F)
 
 
+def _dact_from_h(h, kind: str):
+    """Activation derivative recovered from the (bf16) activation value:
+    leaky keeps the sign of its input, tanh' = 1 - tanh^2. Lets the backward
+    kernel skip recomputing the forward matmul chain."""
+    hf = h.astype(jnp.float32)   # compare in f32: Mosaic can't relayout the
+    if kind == "tanh":           # i1 mask a bf16 compare produces here
+        return 1.0 - hf * hf
+    return jnp.where(hf >= 0, 1.0, 0.01)
+
+
 def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
-                bh_ref, w3_ref, b3_ref, y_ref, *, n: int, tr: int,
-                L: int, act_kind: str):
+                bh_ref, w3_ref, b3_ref, y_ref, *hs_refs, n: int, tr: int,
+                L: int, act_kind: str, save_res: bool):
     b_idx = pl.program_id(0)
     F = u_ref.shape[-1]
     u = u_ref[0, :n, :]
@@ -79,19 +89,24 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
             + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
     h = _act(pre1, act_kind).astype(jnp.bfloat16)
+    if save_res:
+        hs_refs[0][0, 0] = h
     for l in range(L):   # static depth: hidden layers beyond coord_linear
         pre = jnp.dot(h, wh_ref[l],
                       preferred_element_type=jnp.float32) + bh_ref[l]
         h = _act(pre, act_kind).astype(jnp.bfloat16)
+        if save_res:
+            hs_refs[l + 1][0, 0] = h
     y = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
     y_ref[0, 0] = y + b3_ref[...]
 
 
 def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
-                bh_ref, w3_ref, g_ref,
-                du_ref, dv_ref, dp_ref, dq_ref, dhz_ref, dw1_ref, db1_ref,
-                dwh_ref, dbh_ref, dw3_ref, db3_ref, *, n: int, tr: int,
+                bh_ref, w3_ref, g_ref, *rest_refs, n: int, tr: int,
                 hp_rows: int, L: int, act_kind: str):
+    hs_refs = rest_refs[:L + 1]      # bf16 activations saved by the forward
+    (du_ref, dv_ref, dp_ref, dq_ref, dhz_ref, dw1_ref, db1_ref,
+     dwh_ref, dbh_ref, dw3_ref, db3_ref) = rest_refs[L + 1:]
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     F = u_ref.shape[-1]
@@ -107,19 +122,10 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     p = jnp.where(row_ok, p, 0.0)
     q = jnp.where(row_ok, q, 0.0)
 
+    # f is still needed (dw1 / df); the matmul chain is read from residuals
     f = _features(u, v, p, q, tr, n, F)
     f16 = f.astype(jnp.bfloat16)
-    pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
-            + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
-    h1 = _act(pre1, act_kind)
-    h1_16 = h1.astype(jnp.bfloat16)
-    pres = []          # pre-activations of the L hidden layers (static list)
-    hs16 = [h1_16]     # bf16 activations feeding each hidden layer / out
-    for l in range(L):
-        pre = jnp.dot(hs16[-1], wh_ref[l],
-                      preferred_element_type=jnp.float32) + bh_ref[l]
-        pres.append(pre)
-        hs16.append(_act(pre, act_kind).astype(jnp.bfloat16))
+    hs16 = [hs_refs[i][0, 0] for i in range(L + 1)]
 
     g = g_ref[0, 0]                                     # (tr*n, n_out)
     pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
@@ -134,7 +140,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     dwh_l = [None] * L
     dbh_l = [None] * L
     for l in range(L - 1, -1, -1):
-        dpre = dh * _dact(pres[l], act_kind)
+        dpre = dh * _dact_from_h(hs16[l + 1], act_kind)
         dpre_16 = dpre.astype(jnp.bfloat16)
         dwh_l[l] = jax.lax.dot_general(hs16[l], dpre_16,
                                        (((0,), (0,)), ((), ())),
@@ -142,7 +148,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         dbh_l[l] = jnp.sum(dpre, axis=0, keepdims=True)
         dh = jax.lax.dot_general(dpre_16, wh_ref[l], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    dpre1 = dh * _dact(pre1, act_kind)
+    dpre1 = dh * _dact_from_h(hs16[0], act_kind)
     dpre1 = jnp.where(pix_ok, dpre1, 0.0)
     dpre1_16 = dpre1.astype(jnp.bfloat16)
 
@@ -229,7 +235,7 @@ def _stack_hidden(w2, b2):
 
 
 def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
-         interpret):
+         interpret, save_res=False):
     B, rows_padded, F = u.shape
     nt = p4.shape[1]
     H = w1.shape[1]
@@ -237,13 +243,22 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
     n_out = w3.shape[1]
     sp = _specs(B, nt, tr, n, F, H, L, n_out, rows_padded)
     wh, bh = _stack_hidden(w2, b2)
+    h_spec = pl.BlockSpec((1, 1, tr * n, H), lambda b, t: (b, t, 0, 0))
+    h_shape = jax.ShapeDtypeStruct((B, nt, tr * n, H), jnp.bfloat16)
+    out_specs = sp["y"] if not save_res else (
+        (sp["y"],) + (h_spec,) * (L + 1))
+    out_shape = (jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32)
+                 if not save_res else
+                 (jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32),)
+                 + (h_shape,) * (L + 1))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n=n, tr=tr, L=L, act_kind=act_kind),
+        functools.partial(_fwd_kernel, n=n, tr=tr, L=L, act_kind=act_kind,
+                          save_res=save_res),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
                   sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["b3"]],
-        out_specs=sp["y"],
-        out_shape=jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
@@ -252,7 +267,7 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
 
 
 def _bwd(res, g, *, n, tr, act_kind, interpret):
-    u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3 = res
+    u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, hs = res
     B, rows_padded, F = u.shape
     nt = p4.shape[1]
     H = w1.shape[1]
@@ -260,6 +275,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
     n_out = w3.shape[1]
     sp = _specs(B, nt, tr, n, F, H, L, n_out, rows_padded)
     wh, bh = _stack_hidden(w2, b2)
+    h_spec = pl.BlockSpec((1, 1, tr * n, H), lambda b, t: (b, t, 0, 0))
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, rows_padded, F), jnp.float32),   # du
@@ -279,7 +295,8 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
                           act_kind=act_kind),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
-                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]],
+                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]]
+                 + [h_spec] * (L + 1),
         out_specs=(sp["u"], sp["v"], sp["p"], sp["q"],
                    pl.BlockSpec((B, H), lambda b, t: (0, 0)),
                    sp["w1"], sp["b1"], sp["wh"], sp["bh"], sp["w3"],
@@ -289,7 +306,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
-      wh, bh, w3.astype(jnp.bfloat16), g)
+      wh, bh, w3.astype(jnp.bfloat16), g, *hs)
 
     du, dv, dp, dq, dhz, dw1, db1, dwh, dbh, dw3, db3 = outs
     dw2 = tuple(dwh[l] for l in range(L))
@@ -307,9 +324,9 @@ def _fused(n, tr, act_kind, interpret, u, v, p4, q4, hz, w1, b1, w2, b2, w3,
 
 def _vjp_fwd(n, tr, act_kind, interpret, u, v, p4, q4, hz, w1, b1, w2, b2,
              w3, b3):
-    y = _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, n=n, tr=tr,
-             act_kind=act_kind, interpret=interpret)
-    return y, (u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3)
+    y, *hs = _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, n=n, tr=tr,
+                  act_kind=act_kind, interpret=interpret, save_res=True)
+    return y, (u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, tuple(hs))
 
 
 def _vjp_bwd(n, tr, act_kind, interpret, res, g):
