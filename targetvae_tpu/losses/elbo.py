@@ -224,9 +224,16 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         y_hat = generator_apply(params["generator"], gcfg, x_t,
                                 z if gcfg.z_dim > 0 else None,
                                 compute_dtype=compute_dtype)
+    # big per-image CTF kernels go through the DFT-matmul path on the TPU
+    # bf16 route (likelihoods.ctf_apply_dft): XLA's depthwise conv runs at
+    # 0.44 TF/s there; the exact conv is kept for f32/CPU
+    use_dft = (ctf is not None and ctf.shape[-1] >= 32
+               and compute_dtype == jnp.bfloat16
+               and jax.default_backend() == "tpu")
     log_p = reconstruction_log_prob(
         y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
-        dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw)
+        dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw,
+        ctf_dft=use_dft)
 
     elbo = log_p - kl_div
     return elbo, log_p, kl_div

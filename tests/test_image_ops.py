@@ -45,3 +45,24 @@ def test_normalize_ring():
     for i in range(4):
         assert abs(out[i][ring].mean()) < 1e-4
         assert abs(out[i][ring].std() - 1) < 1e-4
+
+
+def test_ctf_apply_dft_matches_conv():
+    """DFT-as-matmul CTF application == the depthwise-conv reference path.
+
+    On CPU the DFT matmuls run in true f32, so the linear-convolution
+    equivalence is tight; on TPU the dispatch uses this path only for the
+    bf16 compute route (losses/elbo.py)."""
+    import jax
+    import jax.numpy as jnp
+    from targetvae_tpu.losses.likelihoods import ctf_apply, ctf_apply_dft
+
+    for n, kc in ((14, 13), (17, 9)):
+        y = jax.random.normal(jax.random.key(0), (3, n, n))
+        ctf = jax.random.normal(jax.random.key(1), (3, kc, kc)) * 0.1
+        a = ctf_apply(y, ctf)
+        b = ctf_apply_dft(y, ctf)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=0)
+        g = jax.grad(lambda y: jnp.sum(jnp.sin(ctf_apply_dft(y, ctf))))(y)
+        assert np.isfinite(np.asarray(g)).all()

@@ -65,8 +65,9 @@ def build(name: str):
                                   normal_prior_over_r=False),
             likelihood=LikelihoodConfig(kind="bernoulli"))
         return cfg, image_dim, 3, None
-    if name == "particles":
+    if name in ("particles", "particles-ctf"):
         image_dim = 110
+        with_ctf = name == "particles-ctf"
         cfg = ModelConfig(
             generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=1,
                                       num_layers=2, fourier_expansion=True,
@@ -78,15 +79,26 @@ def build(name: str):
                                   padding=16, groupconv=8,
                                   theta_prior=np.pi,
                                   normal_prior_over_r=False),
-            likelihood=LikelihoodConfig(kind="gaussian"))
-        return cfg, image_dim, 1, None
+            likelihood=LikelihoodConfig(
+                kind="gaussian", mask_radius=45 if with_ctf else 0))
+        ctf = None
+        if with_ctf:
+            import pandas as pd
+            from targetvae_tpu.data.ctf import ctf_filter
+            kc = image_dim - 1
+            df = pd.DataFrame({
+                "defocus": np.linspace(10000.0, 25000.0, 512),
+                "cs": 2.0, "voltage": 300.0, "apix": 1.5, "bfactor": 0.0,
+                "ampcont": 0.07, "dfdiff": 0.0, "dfang": 0.0})
+            ctf = np.asarray(ctf_filter(df, kc, kc), np.float32)
+        return cfg, image_dim, 1, ctf
     raise SystemExit(f"unknown config {name!r}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", choices=["mnist", "dsprites", "galaxy",
-                                       "particles"])
+                                       "particles", "particles-ctf"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--f32", action="store_true")
@@ -96,9 +108,10 @@ def main():
     from targetvae_tpu.train import Trainer
     from targetvae_tpu.utils.config import TrainConfig
 
-    cfg, n, c, _ = build(args.config)
+    cfg, n, c, ctf = build(args.config)
     batch = args.batch or {"mnist": 100, "dsprites": 50, "galaxy": 50,
-                           "particles": 50}[args.config]
+                           "particles": 50, "particles-ctf": 50}[args.config]
+    ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     dtype = None if args.f32 else "bfloat16"
     model = TargetVAE(cfg)
     trainer = Trainer(model, TrainConfig(learning_rate=2e-4,
@@ -107,12 +120,12 @@ def main():
     y = jax.random.uniform(jax.random.key(1), (batch, n, n, c))
 
     t0 = time.time()
-    state, m = trainer._train_step(state, y)
+    state, m = trainer._train_step(state, y, ctf=ctf_b)
     jax.device_get(m)
     print(f"# compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     for _ in range(args.steps):
-        state, m = trainer._train_step(state, y)
+        state, m = trainer._train_step(state, y, ctf=ctf_b)
     jax.device_get(m)
     dt = (time.time() - t0) / args.steps
     print(f"{args.config} batch={batch} dtype={dtype or 'f32'}: "
