@@ -85,6 +85,14 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
                              "(default: float32)")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed (default: 0)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices: shard the batch over a "
+                             "('data','model') mesh; gradients psum over ICI "
+                             "(default: 1 = single device)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel devices: shard the encoder "
+                             "kernel / generator hidden axes over 'model' "
+                             "(default: 1)")
     parser.add_argument("--resume", default=None, metavar="RUN_DIR",
                         help="resume training from a previous run directory "
                              "(restores params, optimizer state, RNG, "
@@ -173,4 +181,5 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
         log_root=args.log_root, seed=getattr(args, "seed", 0),
         compute_dtype=(None if args.compute_dtype == "float32"
                        else args.compute_dtype),
+        dp=getattr(args, "dp", 1), tp=getattr(args, "tp", 1),
         **overrides)

@@ -62,6 +62,30 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         logger.line(f"# resumed from {ckpt} at epoch {start_epoch}, "
                     f"lr {scheduler.lr:g}")
 
+    n_mesh = train_cfg.dp * train_cfg.tp
+    if n_mesh > 1:
+        # ('data', 'model') mesh: DP shards the batch (compiler-inserted
+        # gradient psums), TP shards the encoder-kernel / generator-hidden
+        # axes per parallel/mesh.py; everything downstream is GSPMD-propagated
+        # from these placements. After resume-load so a restored state is
+        # sharded too.
+        from ..parallel import make_mesh
+        from ..parallel.pjit import shard_batch, shard_state
+        devs = jax.devices()
+        if n_mesh > len(devs):
+            raise SystemExit(f"--dp {train_cfg.dp} x --tp {train_cfg.tp} "
+                             f"needs {n_mesh} devices, found {len(devs)}")
+        if train_cfg.minibatch_size % train_cfg.dp:
+            raise SystemExit(f"--minibatch-size {train_cfg.minibatch_size} "
+                             f"must be divisible by --dp {train_cfg.dp}")
+        mesh = make_mesh(devs[:n_mesh], data=train_cfg.dp,
+                         model=train_cfg.tp)
+        state = shard_state(mesh, state)
+        y_train, ctf_train = shard_batch(mesh, y_train, ctf_train)
+        y_test, ctf_test = shard_batch(mesh, y_test, ctf_test)
+        logger.line(f"# mesh: data={train_cfg.dp} model={train_cfg.tp} "
+                    f"({n_mesh} devices)")
+
     state_box = {"state": state}
     stopper.save_fn = lambda: save_model_pair(
         logger.path_prefix, state_box["state"].params, model.cfg,

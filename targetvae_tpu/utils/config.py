@@ -108,6 +108,9 @@ class TrainConfig:
     early_delta: float = 1e-4
     seed: int = 0
     compute_dtype: Optional[str] = None  # None=float32, or 'bfloat16'
+    # ('data', 'model') mesh shape; dp*tp == 1 keeps the single-device path
+    dp: int = 1                          # data-parallel mesh axis size
+    tp: int = 1                          # tensor-parallel mesh axis size
 
 
 def fourier_sigma_for(image_dim: int) -> float:

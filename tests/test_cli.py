@@ -176,3 +176,38 @@ def test_cluster_galaxy(tmp_path):
         "--n-clusters", "3", "--minibatch-size", "30", "-d", "-1"])
     assert os.path.exists(os.path.join(run, "tsne.jpg"))
     assert os.path.exists(os.path.join(run, "z_vals.jpg"))
+
+
+def test_train_cli_mesh_dp_tp(tmp_path):
+    """--dp/--tp CLI wiring: train on a 4-device ('data','model') mesh
+    (2x2 over the virtual CPU devices from conftest), then resume on it."""
+    d = 14
+    data_root = tmp_path / "data"
+    (data_root / "mnist_U").mkdir(parents=True)
+    np.save(data_root / "mnist_U" / "images_train.npy", _blobs(48, d))
+    np.save(data_root / "mnist_U" / "images_test.npy", _blobs(24, d, seed=1))
+
+    log_root = str(tmp_path / "logs")
+    args = ["--dataset", "mnist-U", "--image-dim", str(d),
+            "--data-root", str(data_root), "--log-root", log_root,
+            "--z-dim", "2", "--groupconv", "4",
+            "--encoder-kernel-number", "16", "--encoder-kernel-size", "8",
+            "--encoder-padding", "2", "--generator-hidden-dim", "32",
+            "--num-epochs", "2", "--minibatch-size", "24", "-d", "-1",
+            "--dp", "2", "--tp", "2"]
+    train_mnist.main(args)
+
+    runs = os.listdir(log_root)
+    run = os.path.join(log_root, runs[0])
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert "# mesh: data=2 model=2 (4 devices)" in log
+    assert log.count("\ttrain\t") == 2
+    for line in log.splitlines():
+        if "\ttrain\t" in line or "\ttest\t" in line:
+            vals = [float(v) for v in line.split("\t")[2:]]
+            assert all(np.isfinite(vals)), line
+
+    # resume keeps the mesh path working
+    train_mnist.main(args + ["--resume", run, "--num-epochs", "3"])
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert log.count("\ttrain\t") == 3
