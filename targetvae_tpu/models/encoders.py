@@ -60,27 +60,6 @@ def _act(name: str):
     return lambda x: jax.nn.leaky_relu(x, 0.01)
 
 
-@jax.custom_vjp
-def _transpose_ji(x):
-    """(B, W', H', F) -> (B, H', W', F), with the COTANGENT transposed in
-    bf16: the downstream matmul's VJP emits dh1 in f32, and transposing
-    1.28 GB of f32 costs 6.0 ms at the cryo-EM scale vs 3.9 ms in bf16; dh1
-    feeds bf16 grad matmuls anyway, so rounding before the transpose is free.
-    """
-    return jnp.transpose(x, (0, 2, 1, 3))
-
-
-def _transpose_ji_fwd(x):
-    return _transpose_ji(x), None
-
-
-def _transpose_ji_bwd(_, g):
-    return (jnp.transpose(g.astype(jnp.bfloat16), (0, 2, 1, 3)),)
-
-
-_transpose_ji.defvjp(_transpose_ji_fwd, _transpose_ji_bwd)
-
-
 def group_offsets(R: int) -> np.ndarray:
     """Group rotation offsets for P4/P8/P16, wrapped to (-pi, pi] with +pi kept.
 
@@ -257,14 +236,17 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
         lhs, rhs, (1,), "VALID",
         dimension_numbers=("NCW", "OIW", "NWC"))         # bf16 (B*W', H', RK)
     h1 = act(pre1.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
-    h1 = _transpose_ji(h1.reshape(b, hp, hp, R * K))     # j-major -> i-major
-    h1 = h1.reshape(b, hp * hp, R, K)
+    # mixing + heads are position-wise, so stay in the conv's j-major layout
+    # and transpose AFTER the heads: the head output (R*D channels) is ~18x
+    # smaller than h1 (R*K), which keeps ~2.5 GB of transposes off HBM
+    h1 = h1.reshape(b, hp, hp, R, K)                     # (B, W', H', R, K)
     pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32) + params["conv2"]["b"]
     h2 = act(pre2).astype(jnp.bfloat16)
     out = jnp.dot(h2, wh.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32) + bh   # (B, M, R, D)
-    return _split_heads(out, b, hp, R, cfg.z_dim)
+                  preferred_element_type=jnp.float32) + bh   # (B,W',H',R,D)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4))            # j-major -> i-major
+    return _split_heads(out.reshape(b, hp * hp, R, -1), b, hp, R, cfg.z_dim)
 
 
 def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
