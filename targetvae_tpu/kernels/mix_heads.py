@@ -1,0 +1,212 @@
+"""Fused mixing + heads kernel for the big-k (conv1d-lift) encoder tier.
+
+The conv1d tier (models/encoders.py:_mode_c_xla_matmul) produces the lifted
+activation h1 (B*W', H', R*K) bf16 straight from XLA's implicit-GEMM conv;
+the remaining per-position work — the 1x1x1 mixing conv and the three fused
+heads (reference src/models.py:347-351) — is pure matmul FLOPs (~2.1 TFLOP
+fwd+bwd at the cryo-EM scale) but costs 23.4 ms in XLA because every
+intermediate (pre2, h2, dh2, dpre2) round-trips HBM in f32. This kernel runs
+the whole chain on VMEM tiles: h1 is read once (bf16), h2 is saved as a bf16
+residual for the backward (its activation derivative is recovered from the
+value, as in decoder_pose._dact_from_h), and the backward emits dh1 bf16 for
+the conv's weight gradient.
+
+Layout note: tiles are position-major with the (r, k) channel axis last, so
+the per-rotation matmuls ride the 128-lane MXU axis; position order (i-major
+vs j-major) is irrelevant here — the caller transposes the small (R*D) head
+output instead of h1 (18x less HBM traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decoder_mlp import _act
+from .decoder_pose import _dact_from_h
+
+
+def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, out_ref, *h2_refs,
+                R: int, K: int, D: int, act_kind: str, save_res: bool):
+    h1 = h1_ref[0]                                   # (T, R*K) bf16
+    outs = []
+    h2s = []
+    for r in range(R):
+        h1r = h1[:, r * K:(r + 1) * K]
+        pre2 = jnp.dot(h1r, w2_ref[...],
+                       preferred_element_type=jnp.float32) + b2_ref[...]
+        h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
+        h2s.append(h2)
+        outs.append(jnp.dot(h2, wh_ref[...],
+                            preferred_element_type=jnp.float32) + bh_ref[...])
+    out_ref[0] = jnp.concatenate(outs, axis=-1)      # (T, R*D)
+    if save_res:
+        h2_refs[0][0] = jnp.concatenate(h2s, axis=-1)   # (T, R*K) bf16
+
+
+def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
+                dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, *,
+                R: int, K: int, D: int, act_kind: str):
+    t_idx = pl.program_id(0)
+    h1 = h1_ref[0]
+    h2 = h2_ref[0]
+    g = g_ref[0]                                     # (T, R*D) f32
+
+    dw2 = jnp.zeros((K, K), jnp.float32)
+    db2 = jnp.zeros((1, K), jnp.float32)
+    dwh = jnp.zeros((K, D), jnp.float32)
+    dbh = jnp.zeros((1, D), jnp.float32)
+    dh1_parts = []
+    for r in range(R):
+        h1r = h1[:, r * K:(r + 1) * K]
+        h2r = h2[:, r * K:(r + 1) * K]
+        gr = g[:, r * D:(r + 1) * D]
+        gr16 = gr.astype(jnp.bfloat16)
+        dwh += jax.lax.dot_general(h2r, gr16, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dbh += jnp.sum(gr, axis=0, keepdims=True)
+        dh2 = jax.lax.dot_general(gr16, wh_ref[...], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpre2 = dh2 * _dact_from_h(h2r, act_kind)
+        dpre2_16 = dpre2.astype(jnp.bfloat16)
+        dw2 += jax.lax.dot_general(h1r, dpre2_16, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        db2 += jnp.sum(dpre2, axis=0, keepdims=True)
+        dh1_parts.append(jax.lax.dot_general(
+            dpre2_16, w2_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    dh1_ref[0] = jnp.concatenate(dh1_parts, axis=-1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+        dwh_ref[...] = dwh
+        dbh_ref[...] = dbh
+
+    @pl.when(t_idx != 0)
+    def _acc():
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+        dwh_ref[...] += dwh
+        dbh_ref[...] += dbh
+
+
+_TILE = 512   # rows per program: 3 bf16 + 2 f32 RK-wide tiles ~= 5 MB
+
+
+def _pad_rows(x, T):
+    n = x.shape[0]
+    pad = (-n) % T
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, n
+
+
+def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res):
+    h1p, n_rows = _pad_rows(h1, _TILE)
+    T = _TILE
+    RK = h1.shape[1]
+    grid = (h1p.shape[0] // T,)
+    rep = lambda i: (0, 0)
+    h1v = h1p.reshape(grid[0], T, RK)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
+                          save_res=save_res),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, K), rep),
+            pl.BlockSpec((1, K), rep),
+            pl.BlockSpec((K, D), rep),
+            pl.BlockSpec((1, D), rep),
+        ],
+        out_specs=[pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0))]
+                  + ([pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0))]
+                     if save_res else []),
+        out_shape=[jax.ShapeDtypeStruct((grid[0], T, R * D), jnp.float32)]
+                  + ([jax.ShapeDtypeStruct((grid[0], T, RK), jnp.bfloat16)]
+                     if save_res else []),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(h1v, w2.astype(jnp.bfloat16), b2.reshape(1, K),
+      wh.astype(jnp.bfloat16), bh.reshape(1, D))
+    out = outs[0].reshape(-1, R * D)[:n_rows]
+    if save_res:
+        return out, outs[1]
+    return out
+
+
+def _bwd(res, g, *, R, K, D, act_kind, interpret):
+    h1, h2v, w2, b2, wh, bh = res
+    n_rows, RK = h1.shape
+    nt, T, _ = h2v.shape
+    h1p, _ = _pad_rows(h1, T)
+    gp, _ = _pad_rows(g, T)   # zero rows -> zero grads, safe for accumulators
+    rep = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, R=R, K=K, D=D, act_kind=act_kind),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, K), rep),
+            pl.BlockSpec((K, D), rep),
+            pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, K), rep),
+            pl.BlockSpec((1, K), rep),
+            pl.BlockSpec((K, D), rep),
+            pl.BlockSpec((1, D), rep),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, T, RK), jnp.bfloat16),
+            jax.ShapeDtypeStruct((K, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(h1p.reshape(nt, T, RK), h2v, w2.astype(jnp.bfloat16),
+      wh.astype(jnp.bfloat16), gp.reshape(nt, T, R * D))
+    dh1, dw2, db2, dwh, dbh = outs
+    return (dh1.reshape(-1, RK)[:n_rows], dw2, db2.reshape(K), dwh,
+            dbh.reshape(D))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
+    return _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+                interpret=interpret, save_res=False)
+
+
+def _vjp_fwd(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
+    out, h2v = _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+                    interpret=interpret, save_res=True)
+    return out, (h1, h2v, w2, b2, wh, bh)
+
+
+def _vjp_bwd(R, K, D, act_kind, interpret, res, g):
+    return _bwd(res, g, R=R, K=K, D=D, act_kind=act_kind,
+                interpret=interpret)
+
+
+_fused.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_mix_heads(h1, w2, b2, wh, bh, *, R: int, K: int,
+                    act_kind: str = "leakyrelu", interpret: bool = False):
+    """h1: (N_positions, R*K) bf16 (any position order); w2/b2 mixing
+    (K, K); wh/bh fused heads (K, D). Returns (N_positions, R*D) f32.
+    Differentiable in h1 and all weights."""
+    D = wh.shape[1]
+    return _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh)

@@ -239,12 +239,23 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     # mixing + heads are position-wise, so stay in the conv's j-major layout
     # and transpose AFTER the heads: the head output (R*D channels) is ~18x
     # smaller than h1 (R*K), which keeps ~2.5 GB of transposes off HBM
-    h1 = h1.reshape(b, hp, hp, R, K)                     # (B, W', H', R, K)
-    pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32) + params["conv2"]["b"]
-    h2 = act(pre2).astype(jnp.bfloat16)
-    out = jnp.dot(h2, wh.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32) + bh   # (B,W',H',R,D)
+    D = 3 + 2 * cfg.z_dim
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
+        # fused Pallas mixing+heads: h1 read once, h2 kept as a bf16
+        # residual, backward emits dh1 bf16 (kernels/mix_heads.py)
+        from ..kernels.mix_heads import fused_mix_heads
+        out = fused_mix_heads(h1.reshape(b * hp * hp, R * K),
+                              params["conv2"]["w"], params["conv2"]["b"],
+                              wh, bh, R=R, K=K, act_kind=cfg.activation)
+        out = out.reshape(b, hp, hp, R, D)               # (B, W', H', R, D)
+    else:
+        h1 = h1.reshape(b, hp, hp, R, K)                 # (B, W', H', R, K)
+        pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        h2 = act(pre2 + params["conv2"]["b"]).astype(jnp.bfloat16)
+        out = jnp.dot(h2, wh.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bh
     out = jnp.transpose(out, (0, 2, 1, 3, 4))            # j-major -> i-major
     return _split_heads(out.reshape(b, hp * hp, R, -1), b, hp, R, cfg.z_dim)
 

@@ -296,3 +296,44 @@ def test_bigk_encoder_parity(enc_setup):
         assert not bool(jnp.isnan(b_).any()), path
         rel = float(jnp.linalg.norm(a - b_) / (jnp.linalg.norm(a) + 1e-9))
         assert rel < 0.05, (path, rel)
+
+
+def test_mix_heads_kernel_parity():
+    """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
+    from targetvae_tpu.kernels.mix_heads import fused_mix_heads
+
+    R, K, D, N = 4, 128, 7, 700   # N not a multiple of the tile -> pads
+    ks = jax.random.split(jax.random.key(0), 5)
+    h1 = (jax.random.normal(ks[0], (N, R * K)) * 0.5).astype(jnp.bfloat16)
+    w2 = jax.random.normal(ks[1], (K, K)) * 0.05
+    b2 = jax.random.normal(ks[2], (K,)) * 0.1
+    wh = jax.random.normal(ks[3], (K, D)) * 0.1
+    bh = jax.random.normal(ks[4], (D,)) * 0.1
+
+    def ref(h1, w2, b2, wh, bh):
+        h = h1.reshape(N, R, K)
+        pre2 = jnp.dot(h, w2.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + b2
+        h2 = jax.nn.leaky_relu(pre2, 0.01).astype(jnp.bfloat16)
+        out = jnp.dot(h2, wh.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bh
+        return out.reshape(N, R * D)
+
+    def ker(h1, w2, b2, wh, bh):
+        return fused_mix_heads(h1, w2, b2, wh, bh, R=R, K=K,
+                               act_kind="leakyrelu", interpret=True)
+
+    y_r = ref(h1, w2, b2, wh, bh)
+    y_k = ker(h1, w2, b2, wh, bh)
+    assert float(jnp.abs(y_r - y_k).max()) < 5e-3
+
+    args = (h1, w2, b2, wh, bh)
+    loss = lambda f: lambda *a: jnp.sum(jnp.sin(f(*a)))
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4))(*args)
+    gk = jax.grad(loss(ker), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gr, gk):
+        assert not bool(jnp.isnan(jnp.asarray(b, jnp.float32)).any())
+        a32 = jnp.asarray(a, jnp.float32)
+        b32 = jnp.asarray(b, jnp.float32)
+        rel = float(jnp.linalg.norm(a32 - b32) / (jnp.linalg.norm(a32) + 1e-9))
+        assert rel < 0.05, rel
