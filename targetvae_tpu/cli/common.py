@@ -93,6 +93,11 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
                         help="tensor-parallel devices: shard the encoder "
                              "kernel / generator hidden axes over 'model' "
                              "(default: 1)")
+    parser.add_argument("--host-stream", action="store_true",
+                        help="stream train batches from host RAM (threaded "
+                             "shuffle/gather/prefetch) instead of keeping "
+                             "the whole train set in device memory — for "
+                             "datasets that don't fit in HBM")
     parser.add_argument("--resume", default=None, metavar="RUN_DIR",
                         help="resume training from a previous run directory "
                              "(restores params, optimizer state, RNG, "
@@ -164,10 +169,12 @@ def launch_training(args, model, train_cfg, run_name: str, y_train, y_test,
     else:
         logger = RunLogger(args.log_root, run_name, args_repr=str(args),
                            model_repr=model.cfg.to_json())
-    try:
+    stream = getattr(args, "host_stream", False)
+    to_dev = (lambda x: x) if stream else jnp.asarray   # streamed data stays
+    try:                                                # in host RAM
         return fit(model, train_cfg, logger,
-                   jnp.asarray(y_train), jnp.asarray(y_test),
-                   ctf_train=None if ctf_train is None else jnp.asarray(ctf_train),
+                   to_dev(y_train), jnp.asarray(y_test),
+                   ctf_train=None if ctf_train is None else to_dev(ctf_train),
                    ctf_test=None if ctf_test is None else jnp.asarray(ctf_test),
                    resume_dir=resume_dir, profile_dir=args.profile_dir)
     finally:
@@ -182,4 +189,5 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
         compute_dtype=(None if args.compute_dtype == "float32"
                        else args.compute_dtype),
         dp=getattr(args, "dp", 1), tp=getattr(args, "tp", 1),
+        host_stream=getattr(args, "host_stream", False),
         **overrides)

@@ -81,10 +81,29 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         mesh = make_mesh(devs[:n_mesh], data=train_cfg.dp,
                          model=train_cfg.tp)
         state = shard_state(mesh, state)
-        y_train, ctf_train = shard_batch(mesh, y_train, ctf_train)
+        if not train_cfg.host_stream:
+            y_train, ctf_train = shard_batch(mesh, y_train, ctf_train)
         y_test, ctf_test = shard_batch(mesh, y_test, ctf_test)
         logger.line(f"# mesh: data={train_cfg.dp} model={train_cfg.tp} "
                     f"({n_mesh} devices)")
+
+    train_pipe = None
+    if train_cfg.host_stream:
+        # threaded host shuffle/gather/prefetch; batches land directly on
+        # the device (or sharded over the mesh) — the train set never
+        # resides in HBM as a whole
+        import numpy as np
+        from ..data.pipeline import HostDataPipeline
+        sharding = None
+        if n_mesh > 1:
+            from ..parallel.mesh import batch_sharding
+            sharding = batch_sharding(mesh)
+        train_pipe = HostDataPipeline(
+            np.asarray(y_train),
+            None if ctf_train is None else np.asarray(ctf_train),
+            batch_size=train_cfg.minibatch_size, seed=train_cfg.seed,
+            sharding=sharding)
+        logger.line(f"# host-streaming train data ({len(train_pipe)} images)")
 
     state_box = {"state": state}
     stopper.save_fn = lambda: save_model_pair(
@@ -98,8 +117,12 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
             jax.profiler.start_trace(profile_dir)
 
         t0 = time.time()
-        state, (elbo, gen_loss, kl) = trainer.train_epoch(
-            state, y_train, ctf_train)
+        if train_pipe is not None:
+            state, (elbo, gen_loss, kl) = trainer.train_epoch_stream(
+                state, train_pipe.epoch(epoch))
+        else:
+            state, (elbo, gen_loss, kl) = trainer.train_epoch(
+                state, y_train, ctf_train)
         dt = time.time() - t0
         state_box["state"] = state
         logger.epoch(epoch + 1, "train", elbo, gen_loss, kl)

@@ -211,3 +211,32 @@ def test_train_cli_mesh_dp_tp(tmp_path):
     train_mnist.main(args + ["--resume", run, "--num-epochs", "3"])
     log = open(os.path.join(run, "train_log.txt")).read()
     assert log.count("\ttrain\t") == 3
+
+
+def test_train_cli_host_stream(tmp_path):
+    """--host-stream: train batches streamed from host RAM (threaded
+    shuffle/gather/prefetch), alone and combined with a DP mesh."""
+    d = 14
+    data_root = tmp_path / "data"
+    (data_root / "mnist_U").mkdir(parents=True)
+    np.save(data_root / "mnist_U" / "images_train.npy", _blobs(48, d))
+    np.save(data_root / "mnist_U" / "images_test.npy", _blobs(24, d, seed=1))
+
+    base = ["--dataset", "mnist-U", "--image-dim", str(d),
+            "--data-root", str(data_root),
+            "--z-dim", "2", "--groupconv", "4",
+            "--encoder-kernel-number", "16", "--encoder-kernel-size", "8",
+            "--encoder-padding", "2", "--generator-hidden-dim", "32",
+            "--num-epochs", "2", "--minibatch-size", "24", "-d", "-1",
+            "--host-stream"]
+    for extra, name in ([], "plain"), (["--dp", "2"], "dp2"):
+        log_root = str(tmp_path / f"logs_{name}")
+        train_mnist.main(base + ["--log-root", log_root] + extra)
+        run = os.path.join(log_root, os.listdir(log_root)[0])
+        log = open(os.path.join(run, "train_log.txt")).read()
+        assert "# host-streaming train data (48 images)" in log
+        assert log.count("\ttrain\t") == 2
+        for line in log.splitlines():
+            if "\ttrain\t" in line:
+                vals = [float(v) for v in line.split("\t")[2:]]
+                assert all(np.isfinite(vals)), line
