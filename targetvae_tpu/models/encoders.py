@@ -185,24 +185,6 @@ def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     return _split_heads(out[:, :hp * hp, :], b, hp, R, cfg.z_dim)
 
 
-def _mode_c_bigk(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
-                 interpret: bool = False):
-    """Mode-C forward through the rotation-split big-k kernel."""
-    from ..kernels.bigk_encoder import fused_lifted_encoder_bigk
-
-    R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
-                    cfg.padding)
-    hp = attn_dim_for(cfg)
-    b = y.shape[0]
-    wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
-    xp = jnp.pad(y[..., 0], ((0, 0), (pad, pad), (pad, pad)))
-    out = fused_lifted_encoder_bigk(
-        xp, wc, bc_vec, params["conv2"]["w"], params["conv2"]["b"], wh, bh,
-        k=k, wp=hp, hp=hp, R=R, K=K, act_kind=cfg.activation,
-        interpret=interpret)
-    return _split_heads(out[:, :hp * hp, :], b, hp, R, cfg.z_dim)
-
-
 def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     """Mode-C forward for kernel sizes whose fused-kernel working set exceeds
     VMEM (k = 64..65, cryo-EM / dsprites / galaxy): the 2-D lift is lowered as
@@ -334,17 +316,9 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     elif (compute_dtype == jnp.bfloat16
           and jax.default_backend() == "tpu"
           and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
-        from ..kernels.bigk_encoder import bigk_supported
-        if os.environ.get("TARGETVAE_BIGK_KERNEL") and bigk_supported(cfg):
-            # rotation-split kernel with two-phase backward — measured SLOWER
-            # than the XLA im2col tier at k=64 (182 vs 229 img/s: small tiles
-            # + S patch re-reads dominate); opt-in pending tuning
-            attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_bigk(
-                params, cfg, y)
-        else:
-            # big-k default: XLA im2col + bf16 matmuls
-            attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_xla_matmul(
-                params, cfg, y)
+        # big-k tier: 1-D-conv lift + fused mixing/heads kernel
+        attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_xla_matmul(
+            params, cfg, y)
     else:
         lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
                                  R=R, padding=cfg.padding,

@@ -265,39 +265,6 @@ def test_fused_posterior_parity():
         assert rel < 1e-4, rel
 
 
-def test_bigk_encoder_parity(enc_setup):
-    """Rotation-split two-phase big-k encoder vs the conv path."""
-    cfg, params, y = enc_setup
-    ref = encoder_apply(params, cfg, y, key=None)
-    attn, th_mu, th_ls, z_mu, z_ls = EN._mode_c_bigk(params, cfg, y,
-                                                     interpret=True)
-    assert float(jnp.abs(attn + rotation_log_prior(cfg, 4)
-                         - ref["attn"]).max()) < 5e-3
-    assert float(jnp.abs(z_mu - ref["z_mu"]).max()) < 5e-3
-
-    def loss_ref(p):
-        o = encoder_apply(p, cfg, y, key=None)
-        return sum(jnp.sum(jnp.sin(v)) for v in
-                   [o["attn"], o["theta_mu"], o["theta_logstd"], o["z_mu"],
-                    o["z_logstd"]])
-
-    def loss_ker(p):
-        attn, th_mu, th_ls, z_mu, z_ls = EN._mode_c_bigk(p, cfg, y,
-                                                         interpret=True)
-        attn = attn + jnp.asarray(rotation_log_prior(cfg, 4))
-        th_mu = th_mu + jnp.asarray(group_offsets(4))
-        return sum(jnp.sum(jnp.sin(v)) for v in
-                   [attn, th_mu, th_ls, z_mu, z_ls])
-
-    gr = jax.grad(loss_ref)(params)
-    gk = dict(jax.tree_util.tree_leaves_with_path(jax.grad(loss_ker)(params)))
-    for path, a in jax.tree_util.tree_leaves_with_path(gr):
-        b_ = gk[path]
-        assert not bool(jnp.isnan(b_).any()), path
-        rel = float(jnp.linalg.norm(a - b_) / (jnp.linalg.norm(a) + 1e-9))
-        assert rel < 0.05, (path, rel)
-
-
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads
