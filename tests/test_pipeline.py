@@ -24,6 +24,31 @@ def test_pipeline_covers_epoch():
     assert not np.allclose(b0, b1)
 
 
+def test_pipeline_multihost_path():
+    """multihost=True on a single process: the local rows are ALL rows, the
+    global array is assembled with make_array_from_process_local_data, and the
+    result equals the plain device_put path batch for batch."""
+    from targetvae_tpu.parallel import make_mesh
+    from targetvae_tpu.parallel.mesh import batch_sharding
+
+    images = np.random.RandomState(0).rand(40, 8, 8, 1).astype(np.float32)
+    ctf = np.random.RandomState(1).rand(40, 8, 8).astype(np.float32)
+    mesh = make_mesh(data=8, model=1)
+    sh = batch_sharding(mesh)
+    plain = HostDataPipeline(images, ctf, batch_size=16, seed=3, sharding=sh,
+                             multihost=False)
+    multi = HostDataPipeline(images, ctf, batch_size=16, seed=3, sharding=sh,
+                             multihost=True)
+    got_p = list(plain.epoch(0))
+    got_m = list(multi.epoch(0))
+    # multihost drops the uneven trailing 8-row batch
+    assert len(got_p) == 3 and len(got_m) == 2
+    for (yp, cp), (ym, cm) in zip(got_p, got_m):
+        assert ym.sharding.is_equivalent_to(sh, ym.ndim)
+        np.testing.assert_array_equal(np.asarray(yp), np.asarray(ym))
+        np.testing.assert_array_equal(np.asarray(cp), np.asarray(cm))
+
+
 def test_streaming_train_epoch():
     model = TargetVAE(ModelConfig(
         GeneratorConfig(z_dim=2, hidden_dim=32),
