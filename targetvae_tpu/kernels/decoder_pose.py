@@ -15,9 +15,21 @@ whole training step on TPU (~7.8 ms per 256M elements at batch 100); the
 separable form removes 98% of the transcendentals and the kernel rebuilds the
 (pixels, F) feature tile in VMEM with two multiply-adds per element.
 
-U,V,P,Q are computed in XLA outside the kernel (20M elements, cheap), so the
-pose gradients (dtheta, d_dx) chain through them by ordinary autodiff; the
-kernel emits dU,dV,dP,dQ cotangents.
+U,V,P,Q are computed in XLA outside the kernel (20M elements, cheap). The
+pose gradients are fused into the backward kernel: instead of emitting the
+four (B, rows, F) table cotangents dU,dV,dP,dQ to HBM (and recombining them
+in an XLA pass), the kernel reduces them on-chip to the three (B, F)
+frequency cotangents
+
+    dw0[f] = sum_j gx[j] * (dV*U - dU*V)[j,f]      (d phase_x / d w''_0)
+    dw1[f] = sum_i gy[i] * (dQ*P - dP*Q)[i,f]      (d phase_y / d w''_1)
+    dc[f]  = sum_i        (dQ*P - dP*Q)[i,f]
+
+(using cos' = -sin, sin' = cos, so d(ax) = dV*U - dU*V elementwise), and the
+wrapper closes the chain per image with O(B*F) work:
+    ddx = (-sum_f dc*w''_0, -sum_f dc*w''_1)
+    dtheta = sum_f (dw0_tot * w''_1 - dw1_tot * w''_0),
+    dwk_tot = dwk + dc * (-dx_k)   (cvec = bf - dx @ w'')
 """
 
 from __future__ import annotations
@@ -33,21 +45,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .decoder_mlp import _act, _dact
 
 
-def pose_tables(theta, dx, wf_over_sigma, bf, image_dim: int, rows_padded: int):
-    """Build U,V,P,Q (B, rows_padded, F) f32 in XLA.
+def pose_freqs(theta, dx, wf_over_sigma, bf):
+    """Per-image rotated frequency vectors (B, F): w'' = R(theta) @ (Wf/sigma)
+    and the phase constant cvec = bf - dx @ w''.
 
     wf_over_sigma: (2, F) = Wf / sigma (stop-gradient buffers applied by the
     caller); theta (B,), dx (B, 2).
     """
-    n = image_dim
     c, s = jnp.cos(theta), jnp.sin(theta)
     # x_t = (x0 - dx) @ R with R = [[c, s], [-s, c]] (ops/coords.py):
-    # w'' = R @ wf  -> w''_0 = c*wf_0 + s*wf_1 ... careful: phase = x_t @ wf =
-    # (x0 - dx) @ (R @ wf)
+    # phase = x_t @ wf = (x0 - dx) @ (R @ wf)
     w0 = c[:, None] * wf_over_sigma[0] + s[:, None] * wf_over_sigma[1]   # (B,F)
     w1 = -s[:, None] * wf_over_sigma[0] + c[:, None] * wf_over_sigma[1]  # (B,F)
     cvec = bf[None] - (dx[:, 0:1] * w0 + dx[:, 1:2] * w1)                # (B,F)
+    return w0, w1, cvec
 
+
+def pose_tables(theta, dx, wf_over_sigma, bf, image_dim: int, rows_padded: int):
+    """Build U,V,P,Q (B, rows_padded, F) f32 in XLA."""
+    n = image_dim
+    w0, w1, cvec = pose_freqs(theta, dx, wf_over_sigma, bf)
     gx = jnp.linspace(-1.0, 1.0, n)
     gy = jnp.linspace(1.0, -1.0, n)
     pad = rows_padded - n
@@ -105,7 +122,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
                 bh_ref, w3_ref, g_ref, *rest_refs, n: int, tr: int,
                 hp_rows: int, L: int, act_kind: str):
     hs_refs = rest_refs[:L + 1]      # bf16 activations saved by the forward
-    (du_ref, dv_ref, dp_ref, dq_ref, dhz_ref, dw1_ref, db1_ref,
+    (dfx_ref, dfy_ref, dfc_ref, dhz_ref, dw1_ref, db1_ref,
      dwh_ref, dbh_ref, dw3_ref, db3_ref) = rest_refs[L + 1:]
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
@@ -160,10 +177,42 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
                              preferred_element_type=jnp.float32)
     df3 = df.reshape(tr, n, F)
     # f = U[j]P[i] - V[j]Q[i]
-    dp_ref[0, 0] = jnp.sum(df3 * u[None, :, :], axis=1)
-    dq_ref[0, 0] = -jnp.sum(df3 * v[None, :, :], axis=1)
+    dp = jnp.sum(df3 * u[None, :, :], axis=1)           # (tr, F)
+    dq = -jnp.sum(df3 * v[None, :, :], axis=1)
     du_t = jnp.sum(df3 * p[:, None, :], axis=0)         # (n, F)
     dv_t = -jnp.sum(df3 * q[:, None, :], axis=0)
+
+    # fused pose-frequency cotangents (module docstring): with U=cos(ax),
+    # V=sin(ax), d(ax) = dV*U - dU*V, then dw0 = sum_j gx[j] d(ax)[j,:];
+    # likewise d(ay) over this row tile with gy at the GLOBAL row index.
+    # dp/dq vanish on padded rows (df3 is masked), so gy there is irrelevant.
+    # Mosaic iota is integer-only; build int32 then cast
+    jx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
+          + tr * t_idx).astype(jnp.float32)
+    gx = -1.0 + (2.0 / (n - 1)) * jx
+    gy = 1.0 - (2.0 / (hp_rows - 1)) * iy
+    dax = dv_t * u - du_t * v                           # (n, F)
+    day = dq * p - dp * q                               # (tr, F)
+    dfx = jnp.sum(gx * dax, axis=0, keepdims=True)      # (1, F)
+    dfy = jnp.sum(gy * day, axis=0, keepdims=True)
+    dfc = jnp.sum(day, axis=0, keepdims=True)
+
+    # freq outputs are (8, F) blocks indexed b//8 (Mosaic needs the
+    # second-minor block dim divisible by 8): zero the block on entry, then
+    # accumulate this image's row
+    row = b_idx % 8
+
+    @pl.when(jnp.logical_and(row == 0, t_idx == 0))
+    def _init_freq():
+        zeros = jnp.zeros(dfx_ref.shape, dfx_ref.dtype)
+        dfx_ref[...] = zeros
+        dfy_ref[...] = zeros
+        dfc_ref[...] = zeros
+
+    dfx_ref[pl.ds(row, 1), :] += dfx
+    dfy_ref[pl.ds(row, 1), :] += dfy
+    dfc_ref[pl.ds(row, 1), :] += dfc
 
     first = jnp.logical_and(b_idx == 0, t_idx == 0)
 
@@ -189,26 +238,6 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         db3_ref[...] += db3
 
     dhz_ref[pl.ds(b_idx, 1), :] += db1
-
-    # zero the padded du/dv rows explicitly — they'd otherwise hold garbage
-    # (possibly NaN) that reaches XLA autodiff as NaN * 0
-    rows_padded = du_ref.shape[1]
-    if rows_padded > n:
-        zpad = jnp.zeros((rows_padded - n, F), jnp.float32)
-        du_full = jnp.concatenate([du_t, zpad], axis=0)
-        dv_full = jnp.concatenate([dv_t, zpad], axis=0)
-    else:
-        du_full, dv_full = du_t, dv_t
-
-    @pl.when(t_idx == 0)
-    def _init_uv():
-        du_ref[0] = du_full
-        dv_ref[0] = dv_full
-
-    @pl.when(t_idx != 0)
-    def _acc_uv():
-        du_ref[0, :n, :] += du_t
-        dv_ref[0, :n, :] += dv_t
 
 
 def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
@@ -276,12 +305,12 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
     sp = _specs(B, nt, tr, n, F, H, L, n_out, rows_padded)
     wh, bh = _stack_hidden(w2, b2)
     h_spec = pl.BlockSpec((1, 1, tr * n, H), lambda b, t: (b, t, 0, 0))
+    freq_spec = pl.BlockSpec((8, F), lambda b, t: (b // 8, 0))
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, rows_padded, F), jnp.float32),   # du
-        jax.ShapeDtypeStruct((B, rows_padded, F), jnp.float32),   # dv
-        jax.ShapeDtypeStruct((B, nt, tr, F), jnp.float32),        # dp
-        jax.ShapeDtypeStruct((B, nt, tr, F), jnp.float32),        # dq
+        jax.ShapeDtypeStruct((B, F), jnp.float32),                # dw0
+        jax.ShapeDtypeStruct((B, F), jnp.float32),                # dw1 (freq)
+        jax.ShapeDtypeStruct((B, F), jnp.float32),                # dc
         jax.ShapeDtypeStruct((B, H), jnp.float32),                # dhz
         jax.ShapeDtypeStruct((F, H), jnp.float32),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
@@ -297,7 +326,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
                   sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]]
                  + [h_spec] * (L + 1),
-        out_specs=(sp["u"], sp["v"], sp["p"], sp["q"],
+        out_specs=(freq_spec, freq_spec, freq_spec,
                    pl.BlockSpec((B, H), lambda b, t: (0, 0)),
                    sp["w1"], sp["b1"], sp["wh"], sp["bh"], sp["w3"],
                    sp["b3"]),
@@ -308,29 +337,52 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
       wh, bh, w3.astype(jnp.bfloat16), g, *hs)
 
-    du, dv, dp, dq, dhz, dw1, db1, dwh, dbh, dw3, db3 = outs
+    dfx, dfy, dfc, dhz, dw1, db1, dwh, dbh, dw3, db3 = outs
     dw2 = tuple(dwh[l] for l in range(L))
     db2 = tuple(dbh[l, 0] for l in range(L))
-    return (du, dv, dp, dq, dhz, dw1, db1.reshape(H), dw2, db2,
+    return (dfx, dfy, dfc, dhz, dw1, db1.reshape(H), dw2, db2,
             dw3, db3.reshape(n_out))
 
 
+def _build_tables(theta, dx, wf, bf, n, tr):
+    nt = -(-n // tr)
+    rows_padded = nt * tr
+    u, v, p, q = pose_tables(theta, dx, wf, bf, n, rows_padded)
+    B, F = theta.shape[0], wf.shape[1]
+    return u, v, p.reshape(B, nt, tr, F), q.reshape(B, nt, tr, F)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused(n, tr, act_kind, interpret, u, v, p4, q4, hz, w1, b1, w2, b2, w3,
-           b3):
+def _fused(n, tr, act_kind, interpret, theta, dx, wf, bf, hz, w1, b1, w2, b2,
+           w3, b3):
+    u, v, p4, q4 = _build_tables(theta, dx, wf, bf, n, tr)
     return _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, n=n, tr=tr,
                 act_kind=act_kind, interpret=interpret)
 
 
-def _vjp_fwd(n, tr, act_kind, interpret, u, v, p4, q4, hz, w1, b1, w2, b2,
-             w3, b3):
+def _vjp_fwd(n, tr, act_kind, interpret, theta, dx, wf, bf, hz, w1, b1, w2,
+             b2, w3, b3):
+    u, v, p4, q4 = _build_tables(theta, dx, wf, bf, n, tr)
     y, *hs = _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, n=n, tr=tr,
                   act_kind=act_kind, interpret=interpret, save_res=True)
-    return y, (u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, tuple(hs))
+    return y, (theta, dx, wf, bf, u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3,
+               tuple(hs))
 
 
 def _vjp_bwd(n, tr, act_kind, interpret, res, g):
-    return _bwd(res, g, n=n, tr=tr, act_kind=act_kind, interpret=interpret)
+    theta, dx, wf, bf, u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, hs = res
+    (dfx, dfy, dfc, dhz, dw1, db1, dw2, db2, dw3, db3) = _bwd(
+        (u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, hs), g, n=n, tr=tr,
+        act_kind=act_kind, interpret=interpret)
+    # close the pose chain per image (module docstring): O(B*F) in XLA
+    a0, a1, _ = pose_freqs(theta, dx, wf, bf)           # (B, F) each
+    ddx = -jnp.stack([jnp.sum(dfc * a0, axis=1),
+                      jnp.sum(dfc * a1, axis=1)], axis=1)
+    a0_tot = dfx - dfc * dx[:, 0:1]                     # + dc * d(cvec)/d(w0)
+    a1_tot = dfy - dfc * dx[:, 1:2]
+    dtheta = jnp.sum(a0_tot * a1 - a1_tot * a0, axis=1)
+    return (dtheta, ddx, jnp.zeros_like(wf), jnp.zeros_like(bf), dhz,
+            dw1, db1, dw2, db2, dw3, db3)
 
 
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
@@ -344,18 +396,25 @@ def pose_decoder_supported(cfg) -> bool:
 
 
 def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
-    """Largest row-tile whose bwd working set fits scoped VMEM:
-    f/df tiles 2*tr*n*F*4, hidden tiles (L+1)*2*tr*n*H*4, u/v/p/q + dW accs.
-    The estimate undercounts Mosaic's actual scoped usage by ~1.4x (measured),
-    so the budget is set well under the 16 MB limit."""
-    budget = 9 * 1024 * 1024
-    fixed = (2 * (n + 16) * F * 4 + 2 * F * H + F * H * 4
-             + L * (H * H * 6))
-    for tr in range(16, 0, -1):
-        per = tr * n * (2 * F + 2 * (L + 1) * H) * 4
-        if fixed + per < budget:
-            return tr
-    return 1
+    """Row tile for the fused decoder, tuned on v5e (BENCH_NOTES.md sweep).
+
+    Mosaic's scoped-vmem ceiling for this kernel depends on the enclosing
+    program, not just the standalone kernel (tr=10 at n=50 compiles alone but
+    overflows by 761K inside the jitted train step; galaxy L=3 tr=8 by 1.7M),
+    so tiles hug measured IN-STEP points:
+      - 512-px tiles (tr=8, n=64, one hidden layer) run in the dsprites /
+        particles train steps — kept as the validated anchor;
+      - everything else stays <= 320 px, comfortably inside every shape
+        measured, using divisors of n only (padded rows are pure waste:
+        dsprites tr=10 pads 64->70 rows and loses 10% over tr=8)."""
+    if F <= 1024 and H <= 512 and L == 1 and n % 8 == 0 and 8 * n <= 512:
+        return 8
+    cap_px = max(n, (320 * 1024) // F)
+    best = 1
+    for tr in range(1, min(n, 16) + 1):
+        if tr * n <= cap_px and n % tr == 0:
+            best = tr
+    return best
 
 
 def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
@@ -364,6 +423,9 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
     (B, image_dim^2, n_out). Equivalent to
     generator_apply(params, cfg, transform_coords(grid, dx, theta), z)."""
     n = image_dim
+    if tr <= 0:
+        import os
+        tr = int(os.environ.get("TARGETVAE_DECODER_TR", "0"))  # debug knob
     if tr <= 0:
         F_ = params["fourier"]["w"].shape[1]
         H_ = params["coord_linear"]["w"].shape[1]
@@ -374,15 +436,11 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
     fw = jax.lax.stop_gradient(params["fourier"]["w"])
     fb = jax.lax.stop_gradient(params["fourier"]["b"])
     wf = fw / jnp.asarray(cfg.fourier_sigma, fw.dtype)
-    u, v, p, q = pose_tables(theta, dx, wf, fb, n, rows_padded)
     B = theta.shape[0]
-    F = wf.shape[1]
-    p4 = p.reshape(B, nt, tr, F)
-    q4 = q.reshape(B, nt, tr, F)
 
     hz = jnp.dot(z, params["latent_linear"]["w"],
                  preferred_element_type=jnp.float32)
-    y = _fused(n, tr, cfg.activation, interpret, u, v, p4, q4, hz,
+    y = _fused(n, tr, cfg.activation, interpret, theta, dx, wf, fb, hz,
                params["coord_linear"]["w"], params["coord_linear"]["b"],
                tuple(h["w"] for h in params["hidden"]),
                tuple(h["b"] for h in params["hidden"]),

@@ -106,6 +106,34 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
 
         x_t = transform_coords(x_coord, dx, theta)
 
+    elif ecfg.mode == "B" and _use_posterior_kernel(compute_dtype):
+        # mode B is the R=1 special case of the joint posterior: same fused
+        # softmax+Gumbel+moments+KL kernel with a single rotation cell,
+        # offsets 0 and conditional prior std = theta_prior
+        from ..kernels.posterior import fused_posterior
+        attn = enc["attn"]                                        # (B, H', W')
+        ad = attn.shape[1]
+        M = ad * ad
+        grid_np = np.asarray(attention_grid(ad, ecfg.image_dim))
+        p_t = jnp.asarray(_translation_log_prior(grid_np)).reshape(1, M)
+        post = fused_posterior(
+            k_enc, attn.reshape(b, 1, M),
+            enc["theta_mu"].reshape(b, 1, M),
+            enc["theta_logstd"].reshape(b, 1, M),
+            jnp.transpose(enc["z_mu"].reshape(b, M, ecfg.z_dim),
+                          (0, 2, 1)).reshape(b, ecfg.z_dim, 1, M),
+            jnp.transpose(enc["z_logstd"].reshape(b, M, ecfg.z_dim),
+                          (0, 2, 1)).reshape(b, ecfg.z_dim, 1, M),
+            p_t, jnp.asarray(grid_np), jnp.zeros((1,), jnp.float32),
+            ecfg.theta_prior)
+        z = (post["z_std_e"] * jax.random.normal(k_z, (b, ecfg.z_dim))
+             + post["z_mu_e"])
+        theta = (post["theta_std_e"] * jax.random.normal(k_theta, (b,))
+                 + post["theta_mu_e"])
+        dx = post["dx"]
+        kl_div = jnp.mean(post["kl"])
+        x_t = transform_coords(x_coord, dx, theta)
+
     elif ecfg.mode == "B":
         attn = enc["attn"].astype(jnp.float32)                    # (B, H', W')
         a_s = enc["a_sampled"].reshape(b, -1)                     # (B, M)

@@ -265,6 +265,49 @@ def test_fused_posterior_parity():
         assert rel < 1e-4, rel
 
 
+def test_mode_b_posterior_kernel_elbo_parity(monkeypatch):
+    """Mode-B ELBO via the fused posterior kernel (R=1 joint grid,
+    deterministic + interpret) == the XLA mode-B branch with zeroed noise."""
+    import targetvae_tpu.losses.elbo as elbo_mod
+    import targetvae_tpu.kernels.posterior as post_mod
+    import targetvae_tpu.models.encoders as enc_mod
+    from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.utils.config import (EncoderConfig, GeneratorConfig,
+                                            LikelihoodConfig, ModelConfig)
+
+    cfg = ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32),
+        EncoderConfig(t_inf="attention", r_inf="unimodal", image_dim=12,
+                      z_dim=2, kernels_num=16, kernels_size=7, padding=3,
+                      groupconv=0),
+        LikelihoodConfig())
+    assert cfg.encoder.mode == "B"
+    model = TargetVAE(cfg)
+    params = model.init(jax.random.key(0))
+    y = jax.random.uniform(jax.random.key(1), (3, 12, 12, 1))
+    key = jax.random.key(2)
+
+    # zero every sampling source so both paths reduce to posterior means
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda k, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        enc_mod, "gumbel_softmax",
+        lambda k, logits, tau=1.0, axis=-1: jax.nn.softmax(logits, axis=axis))
+    ref = model.elbo(params, model.base_grid(), y, key)
+
+    orig = post_mod.fused_posterior
+    monkeypatch.setattr(elbo_mod, "_use_posterior_kernel", lambda dt: True)
+    monkeypatch.setattr(
+        post_mod, "fused_posterior",
+        lambda *a, **kw: orig(*a, **{**kw, "deterministic": True,
+                                     "interpret": True}))
+    ker = model.elbo(params, model.base_grid(), y, key)
+    for a, b in zip(ref, ker):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=2e-5)
+
+
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads
