@@ -44,6 +44,17 @@ def _dact(pre, kind: str):
     return jnp.where(pre >= 0, 1.0, LEAKY_SLOPE)
 
 
+def _dact_from_h(h, kind: str):
+    """Activation derivative recovered from the (bf16) activation value:
+    leaky keeps the sign of its input, tanh' = 1 - tanh^2. Lets backward
+    kernels skip recomputing the forward matmul chain when the activation was
+    saved as a residual."""
+    hf = h.astype(jnp.float32)   # compare in f32: Mosaic can't relayout the
+    if kind == "tanh":           # i1 mask a bf16 compare produces here
+        return 1.0 - hf * hf
+    return jnp.where(hf >= 0, 1.0, LEAKY_SLOPE)
+
+
 def decoder_kernel_supported(cfg) -> bool:
     """Kernel covers the flagship decoder shape: fourier on, 2 layers,
     no resid."""

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decoder_mlp import _act, _dact
+from .decoder_mlp import _act, _dact, _dact_from_h
 
 
 def pose_freqs(theta, dx, wf_over_sigma, bf):
@@ -80,16 +80,6 @@ def _features(u, v, p, q, tr, n, F):
     """f[i*n + j, :] = U[j]*P[i] - V[j]*Q[i]; u,v: (n, F); p,q: (tr, F)."""
     f3 = (u[None, :, :] * p[:, None, :] - v[None, :, :] * q[:, None, :])
     return f3.reshape(tr * n, F)
-
-
-def _dact_from_h(h, kind: str):
-    """Activation derivative recovered from the (bf16) activation value:
-    leaky keeps the sign of its input, tanh' = 1 - tanh^2. Lets the backward
-    kernel skip recomputing the forward matmul chain."""
-    hf = h.astype(jnp.float32)   # compare in f32: Mosaic can't relayout the
-    if kind == "tanh":           # i1 mask a bf16 compare produces here
-        return 1.0 - hf * hf
-    return jnp.where(hf >= 0, 1.0, 0.01)
 
 
 def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
@@ -398,17 +388,14 @@ def pose_decoder_supported(cfg) -> bool:
 def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
     """Row tile for the fused decoder, tuned on v5e (BENCH_NOTES.md sweep).
 
-    Mosaic's scoped-vmem ceiling for this kernel depends on the enclosing
-    program, not just the standalone kernel (tr=10 at n=50 compiles alone but
-    overflows by 761K inside the jitted train step; galaxy L=3 tr=8 by 1.7M),
-    so tiles hug measured IN-STEP points:
-      - 512-px tiles (tr=8, n=64, one hidden layer) run in the dsprites /
-        particles train steps — kept as the validated anchor;
-      - everything else stays <= 320 px, comfortably inside every shape
-        measured, using divisors of n only (padded rows are pure waste:
-        dsprites tr=10 pads 64->70 rows and loses 10% over tr=8)."""
-    if F <= 1024 and H <= 512 and L == 1 and n % 8 == 0 and 8 * n <= 512:
-        return 8
+    Mosaic's scoped-vmem ceiling AND throughput for this kernel depend on the
+    enclosing program, not just the standalone kernel: tr=10 at n=50 compiles
+    alone but overflows scoped vmem by 761K inside the jitted train step
+    (galaxy L=3 tr=8 by 1.7M), and 512-px tiles that win standalone at n=64
+    cost the particles step +4.6 ms in situ (HBM copy scheduling against the
+    big-k encoder). <= 320-px tiles measure at or near the per-config optimum
+    everywhere in-step, using divisors of n only — padded rows are pure waste
+    (dsprites tr=10 pads 64->70 rows and loses 10% over tr=8)."""
     cap_px = max(n, (320 * 1024) // F)
     best = 1
     for tr in range(1, min(n, 16) + 1):

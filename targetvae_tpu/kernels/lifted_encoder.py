@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decoder_mlp import _act, _dact
+from .decoder_mlp import _act, _dact, _dact_from_h
 
 
 def encoder_kernel_supported(cfg) -> bool:
@@ -66,16 +66,20 @@ def build_patches(xp: jnp.ndarray, k: int, wp: int, hp: int, nt: int,
 
 
 def _fwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
-                out_ref, *, R: int, K: int, D: int, act_kind: str):
+                out_ref, *hs_refs, R: int, K: int, D: int, act_kind: str,
+                save_res: bool):
     p16 = p_ref[0, 0]                                # (Tr*Wp, k*k) bf16
     pre1 = jnp.dot(p16, wc_ref[...],
                    preferred_element_type=jnp.float32) + bc_ref[...]
     h1 = _act(pre1, act_kind)                        # (Tr*Wp, R*K)
+    h1_16 = h1.astype(jnp.bfloat16)
+    if save_res:
+        hs_refs[0][0, 0] = h1_16  # bwd reads this instead of redoing the lift
     # mixing + heads per rotation (static loop keeps every op 2-D; Mosaic has
     # no multi-axis reshapes): out[:, r*D:(r+1)*D] = heads(mix(h1_r))
     outs = []
     for r in range(R):
-        h1r = h1[:, r * K:(r + 1) * K].astype(jnp.bfloat16)
+        h1r = h1_16[:, r * K:(r + 1) * K]
         pre2 = jnp.dot(h1r, w2_ref[...],
                        preferred_element_type=jnp.float32) + b2_ref[...]
         h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
@@ -84,17 +88,15 @@ def _fwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, bh_ref,
     out_ref[0, 0] = jnp.concatenate(outs, axis=-1)   # (Tr*Wp, R*D)
 
 
-def _bwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
+def _bwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref, h1_ref,
                 dwc_ref, dbc_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, *,
                 R: int, K: int, D: int, act_kind: str):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
     p16 = p_ref[0, 0]
-    pre1 = jnp.dot(p16, wc_ref[...],
-                   preferred_element_type=jnp.float32) + bc_ref[...]
-    h1 = _act(pre1, act_kind)
-
+    h1_16 = h1_ref[0, 0]     # bf16 residual saved by the forward: the lift
+                             # matmul (the big FLOP) is never recomputed
     g2 = g_ref[0, 0]                                 # (Tr*Wp, R*D)
     w2_16 = w2_ref[...]
     wh16 = wh_ref[...]
@@ -105,8 +107,7 @@ def _bwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
     db2 = jnp.zeros((1, K), jnp.float32)
     dpre1_parts = []
     for r in range(R):
-        h1r = h1[:, r * K:(r + 1) * K]
-        h1r16 = h1r.astype(jnp.bfloat16)
+        h1r16 = h1_16[:, r * K:(r + 1) * K]
         pre2 = jnp.dot(h1r16, w2_16,
                        preferred_element_type=jnp.float32) + b2_ref[...]
         h2 = _act(pre2, act_kind)
@@ -126,7 +127,7 @@ def _bwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
         db2 += jnp.sum(dpre2, axis=0, keepdims=True)
         dh1r = jax.lax.dot_general(dpre2_16, w2_16, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        dpre1_parts.append(dh1r * _dact(pre1[:, r * K:(r + 1) * K], act_kind))
+        dpre1_parts.append(dh1r * _dact_from_h(h1r16, act_kind))
     dpre1 = jnp.concatenate(dpre1_parts, axis=-1)    # (Tr*Wp, R*K)
     dpre1_16 = dpre1.astype(jnp.bfloat16)
 
@@ -156,11 +157,19 @@ def _bwd_kernel(p_ref, wc_ref, bc_ref, w2_ref, b2_ref, wh_ref, g_ref,
 
 
 def _fwd(patches, wc, bc_vec, w2, b2, wh, bh, *, R, K, D, act_kind,
-         interpret):
+         interpret, save_res=False):
     B, nt, tile, kk = patches.shape
     RK = R * K
+    out_spec = pl.BlockSpec((1, 1, tile, R * D), lambda b, t: (b, t, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, nt, tile, R * D), jnp.float32)
+    if save_res:
+        h_spec = pl.BlockSpec((1, 1, tile, RK), lambda b, t: (b, t, 0, 0))
+        h_shape = jax.ShapeDtypeStruct((B, nt, tile, RK), jnp.bfloat16)
+        out_spec = (out_spec, h_spec)
+        out_shape = (out_shape, h_shape)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, R=R, K=K, D=D, act_kind=act_kind),
+        functools.partial(_fwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
+                          save_res=save_res),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, 1, tile, kk), lambda b, t: (b, t, 0, 0)),
@@ -171,8 +180,8 @@ def _fwd(patches, wc, bc_vec, w2, b2, wh, bh, *, R, K, D, act_kind,
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
             pl.BlockSpec((1, D), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile, R * D), lambda b, t: (b, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, nt, tile, R * D), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
@@ -182,7 +191,7 @@ def _fwd(patches, wc, bc_vec, w2, b2, wh, bh, *, R, K, D, act_kind,
 
 
 def _bwd(res, g, *, R, K, D, act_kind, interpret):
-    patches, wc, bc_vec, w2, b2, wh, bh = res
+    patches, wc, bc_vec, w2, b2, wh, bh, h1 = res
     B, nt, tile, kk = patches.shape
     RK = R * K
 
@@ -205,6 +214,7 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
             pl.BlockSpec((1, K), lambda b, t: (0, 0)),
             pl.BlockSpec((K, D), lambda b, t: (0, 0)),
             pl.BlockSpec((1, 1, tile, R * D), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, tile, RK), lambda b, t: (b, t, 0, 0)),
         ],
         out_specs=tuple([
             pl.BlockSpec((kk, RK), lambda b, t: (0, 0)),
@@ -219,7 +229,8 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(patches, wc.astype(jnp.bfloat16), bc_vec.reshape(1, RK),
-      w2.astype(jnp.bfloat16), b2.reshape(1, K), wh.astype(jnp.bfloat16), g)
+      w2.astype(jnp.bfloat16), b2.reshape(1, K), wh.astype(jnp.bfloat16), g,
+      h1)
 
     dwc, dbc, dw2, db2, dwh, dbh = outs
     return (None, dwc, dbc.reshape(-1), dw2, db2.reshape(-1), dwh,
@@ -234,9 +245,9 @@ def _fused(R, K, D, act_kind, interpret, patches, wc, bc_vec, w2, b2, wh, bh):
 
 def _vjp_fwd(R, K, D, act_kind, interpret, patches, wc, bc_vec, w2, b2, wh,
              bh):
-    y = _fwd(patches, wc, bc_vec, w2, b2, wh, bh, R=R, K=K, D=D,
-             act_kind=act_kind, interpret=interpret)
-    return y, (patches, wc, bc_vec, w2, b2, wh, bh)
+    y, h1 = _fwd(patches, wc, bc_vec, w2, b2, wh, bh, R=R, K=K, D=D,
+                 act_kind=act_kind, interpret=interpret, save_res=True)
+    return y, (patches, wc, bc_vec, w2, b2, wh, bh, h1)
 
 
 def _vjp_bwd(R, K, D, act_kind, interpret, res, g):

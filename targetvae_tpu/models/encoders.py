@@ -39,7 +39,8 @@ def _encoder_kernel_vmem_ok(cfg: EncoderConfig, tile_rows: int = 13) -> bool:
     rows = tile_rows * wp
     est = (k2 * rk * 2            # wc bf16
            + rows * k2 * 2        # P tile bf16 (built in XLA)
-           + rows * rk * 8        # pre1/h1 f32
+           + rows * rk * 8        # pre1/h1 f32 (fwd)
+           + rows * rk * 2        # h1 bf16 residual block
            + k2 * rk * 4          # bwd dwc accumulator
            + rows * rk * 4)       # bwd dpre1
     # calibrated against the largest config known to compile (P8, k=28)
