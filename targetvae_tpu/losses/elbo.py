@@ -68,6 +68,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  y: jnp.ndarray, key: jax.Array,
                  ctf: Optional[jnp.ndarray] = None,
                  compute_dtype: Optional[jnp.dtype] = None,
+                 allow_kernels: bool = True,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns scalar (elbo, log_p_x_g_z, kl_div), batch means.
 
@@ -78,6 +79,10 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     STANDARD image grid (ops/coords.image_grid) — x_coord must be that grid
     (it always is for the CLIs/Trainer). Pass compute_dtype=None to decode
     arbitrary x_coord.
+
+    allow_kernels=False forces the pure-XLA paths: pallas_call custom calls
+    cannot be partitioned by GSPMD, so the Trainer passes dp*tp == 1 and a
+    multi-device mesh run shards the (slower, but equivalent) XLA tiers.
     """
     ecfg, gcfg, lcfg = cfg.encoder, cfg.generator, cfg.likelihood
     b = y.shape[0]
@@ -85,7 +90,8 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     k_enc, k_z, k_theta = jax.random.split(key, 3)
 
     enc = encoder_apply(params["encoder"], ecfg, y, k_enc,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        allow_kernels=allow_kernels)
 
     if ecfg.mode == "A":
         z_mu, z_logstd = enc["z_mu"], enc["z_logstd"]
@@ -106,7 +112,8 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
 
         x_t = transform_coords(x_coord, dx, theta)
 
-    elif ecfg.mode == "B" and _use_posterior_kernel(compute_dtype):
+    elif (ecfg.mode == "B" and allow_kernels
+          and _use_posterior_kernel(compute_dtype)):
         # mode B is the R=1 special case of the joint posterior: same fused
         # softmax+Gumbel+moments+KL kernel with a single rotation cell,
         # offsets 0 and conditional prior std = theta_prior
@@ -167,7 +174,8 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         val2 = jnp.sum(jnp.exp(q_t) * (kl_th + kl_z), axis=1)
         kl_div = jnp.mean(val1 + val2)
 
-    elif ecfg.mode == "C" and _use_posterior_kernel(compute_dtype):
+    elif (ecfg.mode == "C" and allow_kernels
+          and _use_posterior_kernel(compute_dtype)):
         # fused posterior kernel: softmax + Gumbel + moments + KL in one pass
         from ..kernels.posterior import fused_posterior
         from ..models.encoders import attn_dim_for
@@ -241,7 +249,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         kl_div = jnp.mean(val1 + val2)
 
     # ---- reconstruction ----
-    if _use_pose_decoder(gcfg, compute_dtype):
+    if allow_kernels and _use_pose_decoder(gcfg, compute_dtype):
         # pose-aware fused kernel: exploits the regular pixel grid to make the
         # Fourier phase separable (kernels/decoder_pose.py) — the direct
         # n^2 * F cos is the single most expensive op of the training step

@@ -186,7 +186,8 @@ def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     return _split_heads(out[:, :hp * hp, :], b, hp, R, cfg.z_dim)
 
 
-def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
+def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
+                       allow_kernels: bool = True):
     """Mode-C forward for kernel sizes whose fused-kernel working set exceeds
     VMEM (k = 64..65, cryo-EM / dsprites / galaxy): the 2-D lift is lowered as
     a 1-D conv over image rows with the dj window axis folded into channels
@@ -223,7 +224,7 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     # and transpose AFTER the heads: the head output (R*D channels) is ~18x
     # smaller than h1 (R*K), which keeps ~2.5 GB of transposes off HBM
     D = 3 + 2 * cfg.z_dim
-    if (jax.default_backend() == "tpu"
+    if (allow_kernels and jax.default_backend() == "tpu"
             and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
         # fused Pallas mixing+heads: h1 read once, h2 kept as a bf16
         # residual, backward emits dh1 bf16 (kernels/mix_heads.py)
@@ -260,9 +261,14 @@ def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
 
 def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                   key: Optional[jax.Array],
-                  compute_dtype: Optional[jnp.dtype] = None) -> dict:
+                  compute_dtype: Optional[jnp.dtype] = None,
+                  allow_kernels: bool = True) -> dict:
     """y: (B, H, W, C) channels-last image batch. key: PRNG for the Gumbel
     sample (None disables sampling, e.g. for clustering/eval embedding).
+
+    allow_kernels=False forces the XLA tiers — required under a multi-device
+    GSPMD mesh, where pallas_call custom calls cannot be partitioned (the
+    Trainer passes dp*tp == 1); the XLA path shards cleanly.
     """
     act = _act(cfg.activation)
     zd = cfg.z_dim
@@ -311,7 +317,7 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
 
     # ---- mode C: the TARGET-VAE encoder (src/models.py:354-403) ----
     R = cfg.groupconv
-    if _use_encoder_kernel(cfg, compute_dtype):
+    if allow_kernels and _use_encoder_kernel(cfg, compute_dtype):
         attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_kernel(
             params, cfg, y)
     elif (compute_dtype == jnp.bfloat16
@@ -319,7 +325,7 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
           and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
         # big-k tier: 1-D-conv lift + fused mixing/heads kernel
         attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_c_xla_matmul(
-            params, cfg, y)
+            params, cfg, y, allow_kernels=allow_kernels)
     else:
         lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
                                  R=R, padding=cfg.padding,

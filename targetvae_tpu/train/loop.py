@@ -34,6 +34,10 @@ class Trainer:
         self.opt = make_optimizer(train_cfg.learning_rate)
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16" else None)
+        # pallas_call custom calls cannot be partitioned by GSPMD: on a
+        # multi-device ('data','model') mesh the XLA tiers run instead (they
+        # shard cleanly); shard_map-wrapped per-shard kernels are future work
+        self._allow_kernels = (train_cfg.dp * train_cfg.tp) <= 1
         self._x_coord = model.base_grid()
 
         self._train_scan = jax.jit(self._epoch_scan_impl, donate_argnums=0,
@@ -53,7 +57,8 @@ class Trainer:
     def _loss_fn(self, params, y, key, ctf):
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
-                                       compute_dtype=self.compute_dtype)
+                                       compute_dtype=self.compute_dtype,
+                                       allow_kernels=self._allow_kernels)
         return -elbo, (log_p, kl)
 
     def _step_impl(self, state: TrainState, y, ctf=None):

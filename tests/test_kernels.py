@@ -308,6 +308,49 @@ def test_mode_b_posterior_kernel_elbo_parity(monkeypatch):
                                    atol=2e-5)
 
 
+def test_mesh_trainer_never_calls_pallas(monkeypatch):
+    """dp*tp > 1 forces the XLA tiers: pallas_call custom calls cannot be
+    partitioned by GSPMD, so the Trainer must not reach any kernel even when
+    the dispatch predicates say yes."""
+    import targetvae_tpu.losses.elbo as elbo_mod
+    import targetvae_tpu.kernels.posterior as post_mod
+    import targetvae_tpu.kernels.decoder_pose as dec_mod
+    import targetvae_tpu.models.encoders as enc_mod
+    from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.utils.config import (EncoderConfig, GeneratorConfig,
+                                            LikelihoodConfig, ModelConfig,
+                                            TrainConfig)
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel reached under a mesh")
+
+    monkeypatch.setattr(elbo_mod, "_use_posterior_kernel", lambda dt: True)
+    monkeypatch.setattr(elbo_mod, "_use_pose_decoder", lambda c, dt: True)
+    monkeypatch.setattr(enc_mod, "_use_encoder_kernel", lambda c, dt: True)
+    monkeypatch.setattr(post_mod, "fused_posterior", boom)
+    monkeypatch.setattr(dec_mod, "fused_pose_decoder", boom)
+    monkeypatch.setattr(enc_mod, "_mode_c_kernel", boom)
+
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, fourier_expansion=True,
+                        fourier_sigma=2 / 11),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=3, groupconv=4),
+        LikelihoodConfig()))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2))
+    state = trainer.init_state(0)
+    y = jax.random.uniform(jax.random.key(1), (4, 12, 12, 1))
+    state, metrics = trainer._train_step(state, y)
+    assert bool(jnp.isfinite(metrics).all())
+
+    # single-device trainer WOULD reach a kernel with the same predicates
+    trainer1 = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state1 = trainer1.init_state(0)
+    with pytest.raises(Exception):
+        trainer1._train_step(state1, y)
+
+
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads

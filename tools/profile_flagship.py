@@ -113,5 +113,35 @@ def main(batch=100):
     print(f"dec_nopose {timeit(dec_nopose, theta, dx, z, gp):7.2f} ms")
 
 
+def main_particles(batch=50):
+    """Big-k (conv1d) encoder tier at the EMPIAR scale: fwd vs fwd+bwd."""
+    import numpy as np
+    from targetvae_tpu.models import encoders as EN
+    from targetvae_tpu.models.encoders import encoder_init
+    from targetvae_tpu.utils.config import EncoderConfig
+
+    cfg = EncoderConfig(t_inf="attention", r_inf="attention+offsets",
+                        image_dim=110, in_channels=1, z_dim=2,
+                        kernels_num=128, kernels_size=64, padding=16,
+                        groupconv=8, theta_prior=np.pi)
+    params = encoder_init(jax.random.key(0), cfg)
+    y = jax.random.uniform(jax.random.key(1), (batch, 110, 110, 1))
+
+    @jax.jit
+    def enc_fwd(p, y):
+        outs = EN._mode_c_xla_matmul(p, cfg, y)
+        return sum(jnp.sum(o.astype(jnp.float32) * 1e-3) for o in outs)
+
+    @jax.jit
+    def enc_fwdbwd(p, y):
+        return jax.grad(lambda p: enc_fwd.__wrapped__(p, y))(p)
+
+    print(f"enc_fwd    {timeit(enc_fwd, params, y):7.2f} ms")
+    print(f"enc_fwdbwd {timeit(enc_fwdbwd, params, y):7.2f} ms")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
+    if len(sys.argv) > 1 and sys.argv[1] == "particles":
+        main_particles()
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 100)
