@@ -80,6 +80,7 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
                              f"must be divisible by --dp {train_cfg.dp}")
         mesh = make_mesh(devs[:n_mesh], data=train_cfg.dp,
                          model=train_cfg.tp)
+        trainer.attach_mesh(mesh)   # DP-only: per-shard Pallas kernel path
         state = shard_state(mesh, state)
         if not train_cfg.host_stream:
             y_train, ctf_train = shard_batch(mesh, y_train, ctf_train)

@@ -34,10 +34,13 @@ class Trainer:
         self.opt = make_optimizer(train_cfg.learning_rate)
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16" else None)
-        # pallas_call custom calls cannot be partitioned by GSPMD: on a
-        # multi-device ('data','model') mesh the XLA tiers run instead (they
-        # shard cleanly); shard_map-wrapped per-shard kernels are future work
+        # pallas_call custom calls cannot be partitioned by GSPMD. On a
+        # DP-only mesh the loss runs per-shard inside shard_map (attach_mesh)
+        # so every Pallas kernel still fires on its local batch; with a
+        # 'model' (TP) axis the params are sharded and the numerically
+        # equivalent XLA tiers run instead (they shard cleanly).
         self._allow_kernels = (train_cfg.dp * train_cfg.tp) <= 1
+        self._mesh = None
         self._x_coord = model.base_grid()
 
         self._train_scan = jax.jit(self._epoch_scan_impl, donate_argnums=0,
@@ -53,13 +56,66 @@ class Trainer:
         params = self.model.init(k_init)
         return create_train_state(params, self.cfg.learning_rate, k_run)
 
+    # -- mesh attachment ---------------------------------------------------
+    def attach_mesh(self, mesh) -> None:
+        """Called by fit() after building the ('data','model') mesh. On a
+        DP-only mesh (model axis 1) the loss is wrapped in shard_map so the
+        Pallas kernel tiers run per data shard; any TP keeps pure GSPMD."""
+        self._mesh = mesh
+
+    def _kernels_would_engage(self) -> bool:
+        import os
+        return (self.compute_dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
+
+    def _use_dp_shardmap(self) -> bool:
+        return (self._mesh is not None
+                and dict(self._mesh.shape).get("model", 1) == 1
+                and self._kernels_would_engage())
+
     # -- core loss/step ----------------------------------------------------
     def _loss_fn(self, params, y, key, ctf):
+        # ragged tail batches can't split evenly across shards: they take the
+        # GSPMD/XLA path (kernels off) while full batches keep the kernels
+        if (self._use_dp_shardmap()
+                and y.shape[0] % dict(self._mesh.shape)["data"] == 0):
+            return self._loss_fn_dp(params, y, key, ctf)
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
                                        compute_dtype=self.compute_dtype,
                                        allow_kernels=self._allow_kernels)
         return -elbo, (log_p, kl)
+
+    def _loss_fn_dp(self, params, y, key, ctf):
+        """Per-shard loss on a DP-only mesh: each shard runs the full fused
+        kernel path on its local batch, scalars are pmean'd (fit() enforces
+        minibatch % dp == 0, so shards are equal-sized). The PRNG key is
+        folded with the shard index — sampling matches the single-device run
+        in distribution, not bitwise."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+            extra = {"check_vma": False}   # pallas_call carries no vma info
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            extra = {"check_rep": False}
+
+        def local(params, y, ctf, key):
+            k = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            elbo, log_p, kl = compute_elbo(
+                params, self.model.cfg, self._x_coord, y, k, ctf=ctf,
+                compute_dtype=self.compute_dtype, allow_kernels=True)
+            return (jax.lax.pmean(-elbo, "data"),
+                    (jax.lax.pmean(log_p, "data"),
+                     jax.lax.pmean(kl, "data")))
+
+        sm = shard_map(
+            local, mesh=self._mesh,
+            in_specs=(P(), P("data"), P("data") if ctf is not None else P(),
+                      P()),
+            out_specs=(P(), (P(), P())), **extra)
+        return sm(params, y, ctf, key)
 
     def _step_impl(self, state: TrainState, y, ctf=None):
         key, sub = jax.random.split(state.key)

@@ -351,6 +351,57 @@ def test_mesh_trainer_never_calls_pallas(monkeypatch):
         trainer1._train_step(state1, y)
 
 
+def test_dp_shardmap_kernel_path_matches_single_device(monkeypatch):
+    """On a DP-only mesh the loss runs per-shard under shard_map with the
+    kernel tiers live; with sampling zeroed (deterministic posterior kernel +
+    zeroed normals) the sharded step metrics equal the single-device ones."""
+    import targetvae_tpu.losses.elbo as elbo_mod
+    import targetvae_tpu.kernels.posterior as post_mod
+    import targetvae_tpu.models.encoders as enc_mod
+    from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.parallel import make_mesh
+    from targetvae_tpu.parallel.pjit import shard_batch, shard_state
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.utils.config import (EncoderConfig, GeneratorConfig,
+                                            LikelihoodConfig, ModelConfig,
+                                            TrainConfig)
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda k, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        enc_mod, "gumbel_softmax",
+        lambda k, logits, tau=1.0, axis=-1: jax.nn.softmax(logits, axis=axis))
+    monkeypatch.setattr(elbo_mod, "_use_posterior_kernel", lambda dt: True)
+    orig = post_mod.fused_posterior
+    monkeypatch.setattr(
+        post_mod, "fused_posterior",
+        lambda *a, **kw: orig(*a, **{**kw, "deterministic": True,
+                                     "interpret": True}))
+
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=3, groupconv=4),
+        LikelihoodConfig()))
+    y = jax.random.uniform(jax.random.key(1), (16, 12, 12, 1))
+
+    ref_tr = Trainer(model, TrainConfig(learning_rate=1e-3))
+    ref_state = ref_tr.init_state(0)
+    _, ref_m = ref_tr._train_step(ref_state, y)
+
+    mesh = make_mesh(data=8, model=1)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=8))
+    tr.attach_mesh(mesh)
+    monkeypatch.setattr(tr, "_kernels_would_engage", lambda: True)
+    assert tr._use_dp_shardmap()
+    state = shard_state(mesh, tr.init_state(0))
+    ys, _ = shard_batch(mesh, y)
+    _, m = tr._train_step(state, ys)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref_m), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads
