@@ -91,8 +91,7 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     v = v_ref[0, :n, :]
     p = p_ref[0, 0]
     q = q_ref[0, 0]
-    f = _features(u, v, p, q, tr, n, F)
-    f16 = f.astype(jnp.bfloat16)
+    f16 = _features(u, v, p, q, tr, n, F).astype(jnp.bfloat16)
     pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
             + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
     h = _act(pre1, act_kind).astype(jnp.bfloat16)
@@ -121,22 +120,17 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
 
     u = u_ref[0, :n, :]
     v = v_ref[0, :n, :]
-    p = p_ref[0, 0]
-    q = q_ref[0, 0]
     # zero padded image rows (i >= image_dim) so accumulators stay clean
     rows = jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0) + t_idx * tr
-    row_ok = rows < hp_rows
-    p = jnp.where(row_ok, p, 0.0)
-    q = jnp.where(row_ok, q, 0.0)
+    row_ok = (rows < hp_rows).astype(jnp.float32)
+    p = p_ref[0, 0] * row_ok
+    q = q_ref[0, 0] * row_ok
 
-    # f is still needed (dw1 / df); the matmul chain is read from residuals
-    f = _features(u, v, p, q, tr, n, F)
-    f16 = f.astype(jnp.bfloat16)
     hs16 = [hs_refs[i][0, 0] for i in range(L + 1)]
 
     g = g_ref[0, 0]                                     # (tr*n, n_out)
     pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
-    g = jnp.where(pix_ok, g, 0.0)
+    g = g * pix_ok
     g16 = g.astype(jnp.bfloat16)
 
     dw3 = jax.lax.dot_general(hs16[-1], g16, (((0,), (0,)), ((), ())),
@@ -156,37 +150,50 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         dh = jax.lax.dot_general(dpre_16, wh_ref[l], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     dpre1 = dh * _dact_from_h(hs16[0], act_kind)
-    dpre1 = jnp.where(pix_ok, dpre1, 0.0)
+    dpre1 = dpre1 * pix_ok
     dpre1_16 = dpre1.astype(jnp.bfloat16)
-
-    dw1 = jax.lax.dot_general(f16, dpre1_16, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
     db1 = jnp.sum(dpre1, axis=0, keepdims=True)
-
-    df = jax.lax.dot_general(dpre1_16, w1_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    df3 = df.reshape(tr, n, F)
-    # f = U[j]P[i] - V[j]Q[i]
-    dp = jnp.sum(df3 * u[None, :, :], axis=1)           # (tr, F)
-    dq = -jnp.sum(df3 * v[None, :, :], axis=1)
-    du_t = jnp.sum(df3 * p[:, None, :], axis=0)         # (n, F)
-    dv_t = -jnp.sum(df3 * q[:, None, :], axis=0)
 
     # fused pose-frequency cotangents (module docstring): with U=cos(ax),
     # V=sin(ax), d(ax) = dV*U - dU*V, then dw0 = sum_j gx[j] d(ax)[j,:];
     # likewise d(ay) over this row tile with gy at the GLOBAL row index.
     # dp/dq vanish on padded rows (df3 is masked), so gy there is irrelevant.
-    # Mosaic iota is integer-only; build int32 then cast
+    # Everything with an F axis — the f tile (dw1), df, and the reductions —
+    # is F-parallel and runs in static F-chunks, halving the peak VMEM
+    # temporaries; that headroom buys larger row tiles at big image dims.
+    # Mosaic iota is integer-only; build int32 then cast.
     jx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
     iy = (jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
           + tr * t_idx).astype(jnp.float32)
     gx = -1.0 + (2.0 / (n - 1)) * jx
     gy = 1.0 - (2.0 / (hp_rows - 1)) * iy
-    dax = dv_t * u - du_t * v                           # (n, F)
-    day = dq * p - dp * q                               # (tr, F)
-    dfx = jnp.sum(gx * dax, axis=0, keepdims=True)      # (1, F)
-    dfy = jnp.sum(gy * day, axis=0, keepdims=True)
-    dfc = jnp.sum(day, axis=0, keepdims=True)
+    n_chunks = 2 if F % 256 == 0 else 1
+    Fc = F // n_chunks
+    dw1_parts, dfx_parts, dfy_parts, dfc_parts = [], [], [], []
+    for c in range(n_chunks):
+        sl = slice(c * Fc, (c + 1) * Fc)
+        uc, vc, pc, qc = u[:, sl], v[:, sl], p[:, sl], q[:, sl]
+        f16 = _features(uc, vc, pc, qc, tr, n, Fc).astype(jnp.bfloat16)
+        dw1_parts.append(jax.lax.dot_general(
+            f16, dpre1_16, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))        # (Fc, H)
+        df3 = jax.lax.dot_general(
+            dpre1_16, w1_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tr, n, Fc)
+        # f = U[j]P[i] - V[j]Q[i]
+        dp = jnp.sum(df3 * uc[None], axis=1)            # (tr, Fc)
+        dq = -jnp.sum(df3 * vc[None], axis=1)
+        du_t = jnp.sum(df3 * pc[:, None], axis=0)       # (n, Fc)
+        dv_t = -jnp.sum(df3 * qc[:, None], axis=0)
+        dax = dv_t * uc - du_t * vc
+        day = dq * pc - dp * qc
+        dfx_parts.append(jnp.sum(gx * dax, axis=0, keepdims=True))
+        dfy_parts.append(jnp.sum(gy * day, axis=0, keepdims=True))
+        dfc_parts.append(jnp.sum(day, axis=0, keepdims=True))
+    dw1 = jnp.concatenate(dw1_parts, axis=0)            # (F, H)
+    dfx = jnp.concatenate(dfx_parts, axis=-1)           # (1, F)
+    dfy = jnp.concatenate(dfy_parts, axis=-1)
+    dfc = jnp.concatenate(dfc_parts, axis=-1)
 
     # freq outputs are (8, F) blocks indexed b//8 (Mosaic needs the
     # second-minor block dim divisible by 8): zero the block on entry, then
@@ -389,14 +396,17 @@ def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
     """Row tile for the fused decoder, tuned on v5e (BENCH_NOTES.md sweep).
 
     Mosaic's scoped-vmem ceiling AND throughput for this kernel depend on the
-    enclosing program, not just the standalone kernel: tr=10 at n=50 compiles
-    alone but overflows scoped vmem by 761K inside the jitted train step
-    (galaxy L=3 tr=8 by 1.7M), and 512-px tiles that win standalone at n=64
-    cost the particles step +4.6 ms in situ (HBM copy scheduling against the
-    big-k encoder). <= 320-px tiles measure at or near the per-config optimum
-    everywhere in-step, using divisors of n only — padded rows are pure waste
-    (dsprites tr=10 pads 64->70 rows and loses 10% over tr=8)."""
-    cap_px = max(n, (320 * 1024) // F)
+    enclosing program, not just the standalone kernel (tr=10 at n=50 compiled
+    alone yet overflowed scoped vmem inside the jitted step before the bwd's
+    F-chunking). With the F-chunked backward, <=550-px tiles compile and win
+    in-step at every headline shape (n=50 tr=10 4442 img/s, n=110 tr=5
+    78.7 ms vs 81.4 at tr=2); 880-px tiles still cost the particles step
+    +4.6 ms. Deep generators carry (L+1) hidden-residual tiles + stacked
+    (L,H,H) weight/grad blocks, which pushes 512-px tiles over the ceiling
+    at L=3 (galaxy: +1.22M) — they stay at <=320 px. Divisors of n only —
+    padded rows are pure waste (dsprites tr=10 pads 64->70 rows and loses
+    10% over tr=8)."""
+    cap_px = max(n, ((550 if L <= 1 else 320) * 1024) // F)
     best = 1
     for tr in range(1, min(n, 16) + 1):
         if tr * n <= cap_px and n % tr == 0:

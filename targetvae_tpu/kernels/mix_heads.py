@@ -30,9 +30,18 @@ from .decoder_mlp import _act
 from .decoder_pose import _dact_from_h
 
 
-def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, out_ref, *h2_refs,
-                R: int, K: int, D: int, act_kind: str, save_res: bool):
-    h1 = h1_ref[0]                                   # (T, R*K) bf16
+def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
+                R: int, K: int, D: int, act_kind: str, save_res: bool,
+                lift: bool):
+    if lift:
+        # h1_ref holds the RAW conv output pre1 (no bias, no act); bc is the
+        # lift bias — the activation lives in-kernel so its backward does too
+        bc_ref, rest_refs = rest_refs[0], rest_refs[1:]
+        h1 = _act(h1_ref[0].astype(jnp.float32) + bc_ref[...],
+                  act_kind).astype(jnp.bfloat16)
+    else:
+        h1 = h1_ref[0]                               # (T, R*K) bf16
+    out_ref, rest_refs = rest_refs[0], rest_refs[1:]
     outs = []
     h2s = []
     for r in range(R):
@@ -45,14 +54,21 @@ def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, out_ref, *h2_refs,
                             preferred_element_type=jnp.float32) + bh_ref[...])
     out_ref[0] = jnp.concatenate(outs, axis=-1)      # (T, R*D)
     if save_res:
-        h2_refs[0][0] = jnp.concatenate(h2s, axis=-1)   # (T, R*K) bf16
+        rest_refs[0][0] = jnp.concatenate(h2s, axis=-1)  # h2 (T, R*K) bf16
 
 
-def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
-                dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, *,
-                R: int, K: int, D: int, act_kind: str):
+def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
+                R: int, K: int, D: int, act_kind: str, lift: bool):
     t_idx = pl.program_id(0)
-    h1 = h1_ref[0]
+    if lift:
+        bc_ref = rest_refs[0]
+        (dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref,
+         dbc_ref) = rest_refs[1:]
+        h1 = _act(h1_ref[0].astype(jnp.float32) + bc_ref[...],
+                  act_kind).astype(jnp.bfloat16)
+    else:
+        (dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref) = rest_refs
+        h1 = h1_ref[0]
     h2 = h2_ref[0]
     g = g_ref[0]                                     # (T, R*D) f32
 
@@ -61,6 +77,7 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
     dwh = jnp.zeros((K, D), jnp.float32)
     dbh = jnp.zeros((1, D), jnp.float32)
     dh1_parts = []
+    dbc_parts = []
     for r in range(R):
         h1r = h1[:, r * K:(r + 1) * K]
         h2r = h2[:, r * K:(r + 1) * K]
@@ -76,10 +93,21 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
         dw2 += jax.lax.dot_general(h1r, dpre2_16, (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         db2 += jnp.sum(dpre2, axis=0, keepdims=True)
-        dh1_parts.append(jax.lax.dot_general(
+        dh1r = jax.lax.dot_general(
             dpre2_16, w2_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+            preferred_element_type=jnp.float32)
+        if lift:
+            # chain through the lift activation here: emit dpre1 bf16 so the
+            # conv weight-grad never sees an f32 cotangent (the XLA version
+            # of this convert/reshape cost ~7 ms/step at EMPIAR scale)
+            dpre1 = dh1r * _dact_from_h(h1r, act_kind)
+            dbc_parts.append(jnp.sum(dpre1, axis=0, keepdims=True))
+            dh1_parts.append(dpre1.astype(jnp.bfloat16))
+        else:
+            dh1_parts.append(dh1r.astype(jnp.bfloat16))
     dh1_ref[0] = jnp.concatenate(dh1_parts, axis=-1)
+    if lift:
+        dbc = jnp.concatenate(dbc_parts, axis=-1)    # (1, R*K)
 
     @pl.when(t_idx == 0)
     def _init():
@@ -87,6 +115,8 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
         db2_ref[...] = db2
         dwh_ref[...] = dwh
         dbh_ref[...] = dbh
+        if lift:
+            dbc_ref[...] = dbc
 
     @pl.when(t_idx != 0)
     def _acc():
@@ -94,6 +124,8 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref,
         db2_ref[...] += db2
         dwh_ref[...] += dwh
         dbh_ref[...] += dbh
+        if lift:
+            dbc_ref[...] += dbc
 
 
 _TILE = 512   # rows per program: 3 bf16 + 2 f32 RK-wide tiles ~= 5 MB
@@ -107,16 +139,20 @@ def _pad_rows(x, T):
     return x, n
 
 
-def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res):
+def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
+         bc=None):
+    lift = bc is not None
     h1p, n_rows = _pad_rows(h1, _TILE)
     T = _TILE
     RK = h1.shape[1]
     grid = (h1p.shape[0] // T,)
     rep = lambda i: (0, 0)
     h1v = h1p.reshape(grid[0], T, RK)
+    extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
+    extra_args = [bc.reshape(1, RK).astype(jnp.float32)] if lift else []
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
-                          save_res=save_res),
+                          save_res=save_res, lift=lift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
@@ -124,7 +160,7 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res):
             pl.BlockSpec((1, K), rep),
             pl.BlockSpec((K, D), rep),
             pl.BlockSpec((1, D), rep),
-        ],
+        ] + extra_in,
         out_specs=[pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0))]
                   + ([pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0))]
                      if save_res else []),
@@ -135,7 +171,7 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res):
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(h1v, w2.astype(jnp.bfloat16), b2.reshape(1, K),
-      wh.astype(jnp.bfloat16), bh.reshape(1, D))
+      wh.astype(jnp.bfloat16), bh.reshape(1, D), *extra_args)
     out = outs[0].reshape(-1, R * D)[:n_rows]
     if save_res:
         return out, outs[1]
@@ -143,14 +179,21 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res):
 
 
 def _bwd(res, g, *, R, K, D, act_kind, interpret):
-    h1, h2v, w2, b2, wh, bh = res
+    h1, h2v, w2, b2, wh, bh, bc = res
+    lift = bc is not None
     n_rows, RK = h1.shape
     nt, T, _ = h2v.shape
     h1p, _ = _pad_rows(h1, T)
     gp, _ = _pad_rows(g, T)   # zero rows -> zero grads, safe for accumulators
     rep = lambda i: (0, 0)
+    extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
+    extra_args = [bc.reshape(1, RK).astype(jnp.float32)] if lift else []
+    extra_out_specs = [pl.BlockSpec((1, RK), rep)] if lift else []
+    extra_out_shape = ([jax.ShapeDtypeStruct((1, RK), jnp.float32)]
+                       if lift else [])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, R=R, K=K, D=D, act_kind=act_kind),
+        functools.partial(_bwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
+                          lift=lift),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
@@ -158,26 +201,28 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
             pl.BlockSpec((K, K), rep),
             pl.BlockSpec((K, D), rep),
             pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((K, K), rep),
-            pl.BlockSpec((1, K), rep),
-            pl.BlockSpec((K, D), rep),
-            pl.BlockSpec((1, D), rep),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nt, T, RK), jnp.bfloat16),
-            jax.ShapeDtypeStruct((K, K), jnp.float32),
-            jax.ShapeDtypeStruct((1, K), jnp.float32),
-            jax.ShapeDtypeStruct((K, D), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.float32),
-        ),
+        ] + extra_in,
+        out_specs=tuple(
+            [pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
+             pl.BlockSpec((K, K), rep),
+             pl.BlockSpec((1, K), rep),
+             pl.BlockSpec((K, D), rep),
+             pl.BlockSpec((1, D), rep)] + extra_out_specs),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nt, T, RK), jnp.bfloat16),
+             jax.ShapeDtypeStruct((K, K), jnp.float32),
+             jax.ShapeDtypeStruct((1, K), jnp.float32),
+             jax.ShapeDtypeStruct((K, D), jnp.float32),
+             jax.ShapeDtypeStruct((1, D), jnp.float32)] + extra_out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(h1p.reshape(nt, T, RK), h2v, w2.astype(jnp.bfloat16),
-      wh.astype(jnp.bfloat16), gp.reshape(nt, T, R * D))
+      wh.astype(jnp.bfloat16), gp.reshape(nt, T, R * D), *extra_args)
+    if lift:
+        dh1, dw2, db2, dwh, dbh, dbc = outs
+        return (dh1.reshape(-1, RK)[:n_rows], dw2, db2.reshape(K), dwh,
+                dbh.reshape(D), dbc.reshape(RK))
     dh1, dw2, db2, dwh, dbh = outs
     return (dh1.reshape(-1, RK)[:n_rows], dw2, db2.reshape(K), dwh,
             dbh.reshape(D))
@@ -192,7 +237,7 @@ def _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
 def _vjp_fwd(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
     out, h2v = _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
                     interpret=interpret, save_res=True)
-    return out, (h1, h2v, w2, b2, wh, bh)
+    return out, (h1, h2v, w2, b2, wh, bh, None)
 
 
 def _vjp_bwd(R, K, D, act_kind, interpret, res, g):
@@ -203,6 +248,27 @@ def _vjp_bwd(R, K, D, act_kind, interpret, res, g):
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh):
+    return _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+                interpret=interpret, save_res=False, bc=bc)
+
+
+def _vjp_fwd_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh):
+    out, h2v = _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+                    interpret=interpret, save_res=True, bc=bc)
+    return out, (pre1, h2v, w2, b2, wh, bh, bc)
+
+
+def _vjp_bwd_lift(R, K, D, act_kind, interpret, res, g):
+    dpre1, dw2, db2, dwh, dbh, dbc = _bwd(
+        res, g, R=R, K=K, D=D, act_kind=act_kind, interpret=interpret)
+    return (dpre1, dbc, dw2, db2, dwh, dbh)
+
+
+_fused_lift.defvjp(_vjp_fwd_lift, _vjp_bwd_lift)
+
+
 def fused_mix_heads(h1, w2, b2, wh, bh, *, R: int, K: int,
                     act_kind: str = "leakyrelu", interpret: bool = False):
     """h1: (N_positions, R*K) bf16 (any position order); w2/b2 mixing
@@ -210,3 +276,17 @@ def fused_mix_heads(h1, w2, b2, wh, bh, *, R: int, K: int,
     Differentiable in h1 and all weights."""
     D = wh.shape[1]
     return _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh)
+
+
+def fused_lift_act_mix_heads(pre1, bc, w2, b2, wh, bh, *, R: int, K: int,
+                             act_kind: str = "leakyrelu",
+                             interpret: bool = False):
+    """Like fused_mix_heads but takes the RAW lift-conv output pre1 (bf16,
+    (N_positions, R*K), no bias/activation) plus the lift bias bc (R*K,):
+    h1 = act(pre1 + bc) lives in-kernel, and the backward emits the bf16
+    cotangent dpre1 directly for the conv weight-grad — the XLA version of
+    that activation backward converted the 1024-wide cotangent to f32 and
+    back (~7 ms/step of convert/reshape at EMPIAR scale). Differentiable in
+    pre1, bc and all weights."""
+    D = wh.shape[1]
+    return _fused_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh)

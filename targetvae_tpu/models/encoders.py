@@ -219,21 +219,24 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     pre1 = jax.lax.conv_general_dilated(
         lhs, rhs, (1,), "VALID",
         dimension_numbers=("NCW", "OIW", "NWC"))         # bf16 (B*W', H', RK)
-    h1 = act(pre1.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
     # mixing + heads are position-wise, so stay in the conv's j-major layout
     # and transpose AFTER the heads: the head output (R*D channels) is ~18x
     # smaller than h1 (R*K), which keeps ~2.5 GB of transposes off HBM
     D = 3 + 2 * cfg.z_dim
     if (allow_kernels and jax.default_backend() == "tpu"
             and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
-        # fused Pallas mixing+heads: h1 read once, h2 kept as a bf16
-        # residual, backward emits dh1 bf16 (kernels/mix_heads.py)
-        from ..kernels.mix_heads import fused_mix_heads
-        out = fused_mix_heads(h1.reshape(b * hp * hp, R * K),
-                              params["conv2"]["w"], params["conv2"]["b"],
-                              wh, bh, R=R, K=K, act_kind=cfg.activation)
+        # fused Pallas lift-act + mixing + heads: the raw conv output goes in
+        # bf16, h1 = act(pre1 + bc) lives in-kernel, h2 is a bf16 residual,
+        # and the backward emits the bf16 conv cotangent dpre1 directly
+        # (kernels/mix_heads.py)
+        from ..kernels.mix_heads import fused_lift_act_mix_heads
+        out = fused_lift_act_mix_heads(
+            pre1.reshape(b * hp * hp, R * K), bc_vec,
+            params["conv2"]["w"], params["conv2"]["b"],
+            wh, bh, R=R, K=K, act_kind=cfg.activation)
         out = out.reshape(b, hp, hp, R, D)               # (B, W', H', R, D)
     else:
+        h1 = act(pre1.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
         h1 = h1.reshape(b, hp, hp, R, K)                 # (B, W', H', R, K)
         pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)

@@ -402,6 +402,51 @@ def test_dp_shardmap_kernel_path_matches_single_device(monkeypatch):
                                atol=1e-4)
 
 
+def test_lift_act_mix_heads_kernel_parity():
+    """Lift-activation variant: h1 = act(pre1 + bc) in-kernel, bwd emits
+    dpre1/dbc — vs the jnp chain, fwd + bwd."""
+    from targetvae_tpu.kernels.mix_heads import fused_lift_act_mix_heads
+
+    R, K, D, N = 4, 128, 7, 700
+    ks = jax.random.split(jax.random.key(0), 6)
+    pre1 = (jax.random.normal(ks[0], (N, R * K)) * 0.5).astype(jnp.bfloat16)
+    bc = jax.random.normal(ks[5], (R * K,)) * 0.1
+    w2 = jax.random.normal(ks[1], (K, K)) * 0.05
+    b2 = jax.random.normal(ks[2], (K,)) * 0.1
+    wh = jax.random.normal(ks[3], (K, D)) * 0.1
+    bh = jax.random.normal(ks[4], (D,)) * 0.1
+
+    def ref(pre1, bc, w2, b2, wh, bh):
+        h1 = jax.nn.leaky_relu(pre1.astype(jnp.float32) + bc,
+                               0.01).astype(jnp.bfloat16)
+        h = h1.reshape(N, R, K)
+        pre2 = jnp.dot(h, w2.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + b2
+        h2 = jax.nn.leaky_relu(pre2, 0.01).astype(jnp.bfloat16)
+        out = jnp.dot(h2, wh.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bh
+        return out.reshape(N, R * D)
+
+    def ker(pre1, bc, w2, b2, wh, bh):
+        return fused_lift_act_mix_heads(pre1, bc, w2, b2, wh, bh, R=R, K=K,
+                                        act_kind="leakyrelu", interpret=True)
+
+    args = (pre1, bc, w2, b2, wh, bh)
+    y_r = ref(*args)
+    y_k = ker(*args)
+    assert float(jnp.abs(y_r - y_k).max()) < 5e-3
+
+    loss = lambda f: lambda *a: jnp.sum(jnp.sin(f(*a)))
+    gr = jax.grad(loss(ref), argnums=tuple(range(6)))(*args)
+    gk = jax.grad(loss(ker), argnums=tuple(range(6)))(*args)
+    for a, b in zip(gr, gk):
+        a32 = jnp.asarray(a, jnp.float32)
+        b32 = jnp.asarray(b, jnp.float32)
+        assert not bool(jnp.isnan(b32).any())
+        rel = float(jnp.linalg.norm(a32 - b32) / (jnp.linalg.norm(a32) + 1e-9))
+        assert rel < 0.05, rel
+
+
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads

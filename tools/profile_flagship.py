@@ -40,6 +40,14 @@ def timeit(fn, *args, steps=30):
     return (time.time() - t0) / steps * 1e3
 
 
+def _scalarize(g):
+    """Reduce a gradient pytree to one scalar ON DEVICE. Returning raw grad
+    arrays from a microbench jit makes device_get pull MBs through the axon
+    tunnel and inflates timings by 10-70x (measured: the posterior kernel
+    'cost' 146 ms with raw outputs, 2 ms reduced)."""
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g))
+
+
 def main(batch=100):
     from __graft_entry__ import _flagship_config
     from targetvae_tpu.models import TargetVAE
@@ -73,7 +81,7 @@ def main(batch=100):
         def loss(p):
             outs = EN._mode_c_kernel(p["encoder"], ecfg, y)
             return sum(jnp.sum(o.astype(jnp.float32) * 1e-3) for o in outs)
-        return jax.grad(loss)(p)
+        return _scalarize(jax.grad(loss)(p))
 
     print(f"encoder    {timeit(enc_fwdbwd, params, y):7.2f} ms")
 
@@ -97,7 +105,7 @@ def main(batch=100):
         def loss(a):
             t, d, zz, p = a
             return jnp.sum(fused_pose_decoder(t, d, zz, p, cfg.generator, 50))
-        return jax.grad(loss)((theta, dx, z, gp))
+        return _scalarize(jax.grad(loss)((theta, dx, z, gp)))
 
     print(f"dec_full   {timeit(dec_full, theta, dx, z, gp):7.2f} ms")
 
@@ -108,7 +116,7 @@ def main(batch=100):
             t = jax.lax.stop_gradient(theta)
             d = jax.lax.stop_gradient(dx)
             return jnp.sum(fused_pose_decoder(t, d, zz, p, cfg.generator, 50))
-        return jax.grad(loss)((z, gp))
+        return _scalarize(jax.grad(loss)((z, gp)))
 
     print(f"dec_nopose {timeit(dec_nopose, theta, dx, z, gp):7.2f} ms")
 
@@ -134,7 +142,7 @@ def main_particles(batch=50):
 
     @jax.jit
     def enc_fwdbwd(p, y):
-        return jax.grad(lambda p: enc_fwd.__wrapped__(p, y))(p)
+        return _scalarize(jax.grad(lambda p: enc_fwd.__wrapped__(p, y))(p))
 
     print(f"enc_fwd    {timeit(enc_fwd, params, y):7.2f} ms")
     print(f"enc_fwdbwd {timeit(enc_fwdbwd, params, y):7.2f} ms")
