@@ -93,7 +93,7 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     q = q_ref[0, 0]
     f16 = _features(u, v, p, q, tr, n, F).astype(jnp.bfloat16)
     pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
-            + b1_ref[...] + hz_ref[pl.ds(b_idx, 1), :])
+            + b1_ref[...] + hz_ref[pl.ds(b_idx % 8, 1), :])
     h = _act(pre1, act_kind).astype(jnp.bfloat16)
     if save_res:
         hs_refs[0][0, 0] = h
@@ -222,7 +222,6 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
             dbh_ref[l] = dbh_l[l]
         dw3_ref[...] = dw3
         db3_ref[...] = db3
-        dhz_ref[...] = jnp.zeros(dhz_ref.shape, dhz_ref.dtype)
 
     @pl.when(jnp.logical_not(first))
     def _acc():
@@ -234,7 +233,13 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         dw3_ref[...] += dw3
         db3_ref[...] += db3
 
-    dhz_ref[pl.ds(b_idx, 1), :] += db1
+    # dhz rides an (8, H) block indexed b//8 (batch-size-independent vmem):
+    # zero on block entry, accumulate this image's row
+    @pl.when(jnp.logical_and(b_idx % 8 == 0, t_idx == 0))
+    def _init_dhz():
+        dhz_ref[...] = jnp.zeros(dhz_ref.shape, dhz_ref.dtype)
+
+    dhz_ref[pl.ds(b_idx % 8, 1), :] += db1
 
 
 def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
@@ -242,7 +247,9 @@ def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
     pq = pl.BlockSpec((1, 1, tr, F), lambda b, t: (b, t, 0, 0))
     return {
         "u": uv, "v": uv, "p": pq, "q": pq,
-        "hz": pl.BlockSpec((B, H), lambda b, t: (0, 0)),
+        # hz/dhz ride (8, H) blocks indexed b//8 so the kernel's scoped vmem
+        # is batch-size independent (full (B,H) blocks OOM'd tr=10 at B=256)
+        "hz": pl.BlockSpec((8, H), lambda b, t: (b // 8, 0)),
         "w1": pl.BlockSpec((F, H), lambda b, t: (0, 0)),
         "b1": pl.BlockSpec((1, H), lambda b, t: (0, 0)),
         "wh": pl.BlockSpec((L, H, H), lambda b, t: (0, 0, 0)),
@@ -324,7 +331,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
                   sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]]
                  + [h_spec] * (L + 1),
         out_specs=(freq_spec, freq_spec, freq_spec,
-                   pl.BlockSpec((B, H), lambda b, t: (0, 0)),
+                   pl.BlockSpec((8, H), lambda b, t: (b // 8, 0)),
                    sp["w1"], sp["b1"], sp["wh"], sp["bh"], sp["w3"],
                    sp["b3"]),
         out_shape=out_shapes,
@@ -392,7 +399,7 @@ def pose_decoder_supported(cfg) -> bool:
             and cfg.z_dim > 0)
 
 
-def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
+def _auto_tile_rows(n: int, F: int, H: int, L: int = 1, B: int = 0) -> int:
     """Row tile for the fused decoder, tuned on v5e (BENCH_NOTES.md sweep).
 
     Mosaic's scoped-vmem ceiling AND throughput for this kernel depend on the
@@ -403,10 +410,14 @@ def _auto_tile_rows(n: int, F: int, H: int, L: int = 1) -> int:
     78.7 ms vs 81.4 at tr=2); 880-px tiles still cost the particles step
     +4.6 ms. Deep generators carry (L+1) hidden-residual tiles + stacked
     (L,H,H) weight/grad blocks, which pushes 512-px tiles over the ceiling
-    at L=3 (galaxy: +1.22M) — they stay at <=320 px. Divisors of n only —
-    padded rows are pure waste (dsprites tr=10 pads 64->70 rows and loses
-    10% over tr=8)."""
-    cap_px = max(n, ((550 if L <= 1 else 320) * 1024) // F)
+    at L=3 (galaxy: +1.22M) — they stay at <=320 px; so do batches beyond
+    the validated 100 (the headline tile rides ~100K under the 16M scoped
+    limit — B=256 at 500 px tipped over before hz/dhz moved to (8,H)
+    blocks, and margin beats the last 1-2%). Divisors of n only — padded
+    rows are pure waste (dsprites tr=10 pads 64->70 rows and loses 10%
+    over tr=8)."""
+    big = 550 if (L <= 1 and (B == 0 or B <= 100)) else 320
+    cap_px = max(n, (big * 1024) // F)
     best = 1
     for tr in range(1, min(n, 16) + 1):
         if tr * n <= cap_px and n % tr == 0:
@@ -426,7 +437,8 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
     if tr <= 0:
         F_ = params["fourier"]["w"].shape[1]
         H_ = params["coord_linear"]["w"].shape[1]
-        tr = _auto_tile_rows(n, F_, H_, len(params["hidden"]))
+        tr = _auto_tile_rows(n, F_, H_, len(params["hidden"]),
+                             theta.shape[0])
     nt = -(-n // tr)
     rows_padded = nt * tr
 
