@@ -447,6 +447,28 @@ def test_lift_act_mix_heads_kernel_parity():
         assert rel < 0.05, rel
 
 
+def test_tile_selection_rules():
+    """Pin the measured-good tile choices (BENCH_NOTES.md sweeps): decoder
+    row tiles per (n, L, B) and mix_heads exact-divisor tiles per N."""
+    from targetvae_tpu.kernels.decoder_pose import _auto_tile_rows
+    from targetvae_tpu.kernels.mix_heads import _tile_for
+
+    assert _auto_tile_rows(50, 1024, 512, 1, 100) == 10   # flagship
+    assert _auto_tile_rows(64, 1024, 512, 1, 50) == 8     # dsprites/particles64
+    assert _auto_tile_rows(110, 1024, 512, 1, 50) == 5    # EMPIAR
+    assert _auto_tile_rows(64, 1024, 512, 3, 50) == 4     # galaxy (L=3)
+    assert _auto_tile_rows(50, 1024, 512, 1, 256) == 5    # big batch: margin
+    # divisors only — never pad rows
+    for n in (50, 64, 110, 97):
+        tr = _auto_tile_rows(n, 1024, 512, 1, 50)
+        assert n % tr == 0
+
+    assert _tile_for(312050) == 395    # EMPIAR N = 50*79^2 = 790*395
+    assert _tile_for(211250) == 625    # dsprites N = 50*65^2
+    assert _tile_for(51200) == 640     # galaxy N = 50*32^2 (largest divisor)
+    assert _tile_for(2 ** 17 + 1) == 512  # prime-ish: fall back to default
+
+
 def test_mix_heads_kernel_parity():
     """Fused mixing+heads kernel (interpret) vs the jnp chain, fwd + bwd."""
     from targetvae_tpu.kernels.mix_heads import fused_mix_heads
