@@ -70,6 +70,54 @@ def save_train_state(path: str, state, cfg: ModelConfig,
     save_checkpoint(path, state.params, cfg, step=int(state.step), extra=extra)
 
 
+class AsyncCheckpointer:
+    """Orbax-style async save (SURVEY.md section 5). The device->host
+    snapshot and msgpack serialization happen on the caller thread (the next
+    train step donates the state's buffers, so they must be copied out
+    first); only the disk write runs on a background thread, so the train
+    loop never blocks on IO. wait() joins the in-flight write; a new save
+    joins the previous one first (at most one outstanding write; the atomic
+    rename in the writer makes the latest state win on disk)."""
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._thread = None
+
+    def save(self, path: str, state, cfg: ModelConfig,
+             host_state: Optional[dict] = None) -> None:
+        from flax import serialization as ser
+        self.wait()
+        extra = {
+            "opt_state": ser.to_state_dict(_to_host(state.opt_state)),
+            "key": np.asarray(jax.random.key_data(state.key)),
+            "host": host_state or {},
+        }
+        payload = {
+            "config": cfg.to_json(),
+            "step": int(state.step),
+            "params": _to_host(state.params),
+            "extra": extra,
+        }
+        blob = serialization.msgpack_serialize(payload)
+
+        def write():
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(_MAGIC)
+                f.write(blob)
+            os.replace(tmp, path)
+
+        t = self._threading.Thread(target=write, daemon=True)
+        t.start()
+        self._thread = t
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_train_state(path: str, template_state):
     """Restore a TrainState saved by save_train_state.
 

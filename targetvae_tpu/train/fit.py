@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..models.targetvae import TargetVAE
 from ..utils.config import TrainConfig
-from .checkpoint import load_train_state, save_model_pair, save_train_state
+from .checkpoint import (AsyncCheckpointer, load_train_state,
+                         save_model_pair)
 from .loop import Trainer
 from .logging import RunLogger
 from .schedule import EarlyStopping, ReduceLROnPlateau
@@ -110,6 +111,7 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
     stopper.save_fn = lambda: save_model_pair(
         logger.path_prefix, state_box["state"].params, model.cfg,
         step=int(state_box["state"].step))
+    ckpt = AsyncCheckpointer()   # resume saves never block the epoch loop
 
     n_train = int(y_train.shape[0])
 
@@ -148,7 +150,7 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
             state = set_learning_rate(state, new_lr)
             logger.line(f"# reducing learning rate to {new_lr:g}")
 
-        save_train_state(
+        ckpt.save(
             os.path.join(logger.path_prefix, RESUME_FILE), state, model.cfg,
             host_state={
                 "epoch": epoch + 1, "lr": scheduler.lr,
@@ -166,4 +168,5 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
             save_model_pair(logger.path_prefix, state.params, model.cfg,
                             step=int(state.step), suffix=suffix)
 
+    ckpt.wait()
     return state

@@ -96,6 +96,41 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    """AsyncCheckpointer writes byte-compatible training_state files: a
+    resume-load restores the identical state, and the snapshot is taken
+    before save() returns (mutating/deleting the state after is safe)."""
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.train.checkpoint import (
+        AsyncCheckpointer, load_train_state, save_train_state)
+    from targetvae_tpu.utils.config import TrainConfig
+
+    model = small_model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3))
+    state = trainer.init_state(0)
+    y = jax.random.uniform(jax.random.key(1), (4, 12, 12, 1))
+    state, _ = trainer._train_step(state, y)
+
+    sync_p = os.path.join(tmp_path, "sync.sav")
+    async_p = os.path.join(tmp_path, "async.sav")
+    save_train_state(sync_p, state, model.cfg, host_state={"epoch": 3})
+    ck = AsyncCheckpointer()
+    ck.save(async_p, state, model.cfg, host_state={"epoch": 3})
+    del state        # donated-buffer semantics: snapshot must already exist
+    ck.wait()
+
+    template = trainer.init_state(0)
+    s1, _, h1 = load_train_state(sync_p, template)
+    s2, _, h2 = load_train_state(async_p, template)
+    assert h1 == h2 == {"epoch": 3}
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s1.opt_state),
+                    jax.tree.leaves(s2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s1.step) == int(s2.step) == 1
+
+
 def test_set_learning_rate():
     model = small_model()
     trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
