@@ -30,10 +30,14 @@ def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _dft_mats(S: int):
+    """NUMPY only — a cached jnp.asarray created inside one jit trace is a
+    leaked tracer in the next trace (hit by the streaming tail-batch retrace;
+    jnp conversion happens at each use site, where it is a per-trace
+    constant)."""
     u = np.arange(S)
     W = np.exp(-2j * np.pi * np.outer(u, u) / S).astype(np.complex64)
     Wi = (np.exp(2j * np.pi * np.outer(u, u) / S) / S).astype(np.complex64)
-    return jnp.asarray(W), jnp.asarray(Wi)
+    return W, Wi
 
 
 def ctf_apply_dft(y_img: jnp.ndarray, ctf: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +53,8 @@ def ctf_apply_dft(y_img: jnp.ndarray, ctf: jnp.ndarray) -> jnp.ndarray:
     kc = ctf.shape[-1]
     pad = kc // 2
     S = n + kc - 1
-    W, Wi = _dft_mats(S)
+    W_np, Wi_np = _dft_mats(S)
+    W, Wi = jnp.asarray(W_np), jnp.asarray(Wi_np)
     yp = jnp.pad(y_img, ((0, 0), (0, S - n), (0, S - n)))
     # torch conv2d is cross-correlation -> flip the kernel for convolution
     kp = jnp.pad(ctf[:, ::-1, ::-1], ((0, 0), (0, S - kc), (0, S - kc)))

@@ -66,3 +66,21 @@ def test_ctf_apply_dft_matches_conv():
                                    atol=2e-4, rtol=0)
         g = jax.grad(lambda y: jnp.sum(jnp.sin(ctf_apply_dft(y, ctf))))(y)
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ctf_dft_retrace_no_tracer_leak():
+    """Regression: _dft_mats once cached jnp arrays created inside the first
+    jit trace — the second trace at a new batch shape (the streaming tail
+    batch) then hit UnexpectedTracerError. Two traces sharing the cached S
+    must both work."""
+    import jax
+    import jax.numpy as jnp
+    from targetvae_tpu.losses.likelihoods import ctf_apply_dft
+
+    f = jax.jit(ctf_apply_dft)
+    ctf9 = jax.random.normal(jax.random.key(1), (5, 9, 9)) * 0.1
+    out1 = f(jax.random.normal(jax.random.key(0), (5, 12, 12)), ctf9)
+    # same S = n + kc - 1 -> same _dft_mats cache entry, different batch
+    out2 = f(jax.random.normal(jax.random.key(2), (2, 12, 12)), ctf9[:2])
+    assert np.isfinite(np.asarray(out1)).all()
+    assert np.isfinite(np.asarray(out2)).all()
