@@ -117,9 +117,11 @@ def select_device(device_index: int) -> None:
         jax.config.update("jax_platforms", "cpu")
         return
     devs = jax.devices()
+    selected = devs[0]
     if 0 <= device_index < len(devs):
-        jax.config.update("jax_default_device", devs[device_index])
-    print(f"# using device: {jax.devices()[0]}", file=sys.stderr)
+        selected = devs[device_index]
+        jax.config.update("jax_default_device", selected)
+    print(f"# using device: {selected}", file=sys.stderr)
 
 
 def model_config_from_args(args, image_dim: int, n_out: int,

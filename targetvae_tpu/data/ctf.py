@@ -56,7 +56,9 @@ def ctf_filter(ctf_params: pd.DataFrame, n: int, m: int, scale: float = 1.0
     theta = np.fft.fftfreq(n)
     gamma = np.fft.fftfreq(m)
     tg, gg = np.meshgrid(theta, gamma, indexing="ij")
-    freqs = np.stack([tg.ravel(), gg.ravel()], axis=1).astype(np.float32)
+    freqs = np.stack([tg.ravel(), gg.ravel()], axis=1)  # float64: the CTF
+    # phase is evaluated in double precision (parity with the reference;
+    # float32 phase wobbles the kernels by ~1e-3 relative)
 
     apix = (ctf_params["apix"].to_numpy() * scale)[:, None]          # (N,1)
     f = freqs[None] / apix[..., None]                                 # (N, nm, 2)

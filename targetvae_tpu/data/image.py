@@ -13,18 +13,31 @@ import numpy as np
 
 def downsample(x: np.ndarray, factor: float = 1,
                shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
-    """Fourier-crop downsample of (..., H, W)."""
+    """Fourier-crop downsample of (..., H, W) to `shape` (or by `factor`).
+
+    The output band is assembled by an explicit frequency lookup: for every
+    output bin, gather the input half-spectrum bin carrying the same signed
+    frequency, then inverse-transform at the target size. For even output
+    sizes this matches the reference's band selection exactly (behavioral
+    match point: src/image.py:5-28; parity asserted in
+    tests/test_image_ops.py); for odd output sizes it keeps the full set of
+    out_h distinct row frequencies (the reference drops one row and
+    misaligns the rest). The pixel-count rescale keeps the mean intensity
+    of the input.
+    """
+    in_h, in_w = x.shape[-2:]
     if shape is None:
-        m, n = x.shape[-2:]
-        shape = (int(m / factor), int(n / factor))
-    F = np.fft.rfft2(x)
-    m, n = shape
-    A = F[..., 0:m // 2, 0:n // 2 + 1]
-    B = F[..., -m // 2:, 0:n // 2 + 1]
-    F = np.concatenate([A, B], axis=-2)
-    F *= (n * m) / (x.shape[-2] * x.shape[-1])
-    f = np.fft.irfft2(F, s=shape)
-    return f.astype(x.dtype)
+        shape = (int(in_h / factor), int(in_w / factor))
+    out_h, out_w = shape
+    half = np.fft.rfft2(x)
+    # Each output row/col frequency is looked up at the input bin holding the
+    # same signed frequency: fftfreq enumerates the output bins in transform
+    # order, and % maps negative frequencies onto the tail of the input axis.
+    row_freqs = np.fft.fftfreq(out_h, d=1.0 / out_h).astype(np.int64)
+    band = half[..., row_freqs % in_h, : out_w // 2 + 1]
+    band = band * (out_h * out_w / (in_h * in_w))  # preserve mean intensity
+    out = np.fft.irfft2(band, s=shape)
+    return out.astype(x.dtype, copy=False)
 
 
 def crop(stack: np.ndarray, size: int) -> np.ndarray:

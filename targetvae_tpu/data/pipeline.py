@@ -61,7 +61,14 @@ class HostDataPipeline:
         rows = []
         for sl in self.sharding.addressable_devices_indices_map(
                 gshape).values():
-            start, stop_, _ = sl[0].indices(batch)
+            start, stop_, step = sl[0].indices(batch)
+            # make_array_from_process_local_data expects this process's rows
+            # to be the sorted concatenation of unit-stride per-device ranges;
+            # a strided/interleaved batch sharding would silently feed wrong
+            # rows, so refuse it outright.
+            assert step == 1, (
+                f"multihost streaming requires unit-stride batch sharding, "
+                f"got step={step} in {sl[0]}")
             rows.append(np.arange(start, stop_))
         return np.unique(np.concatenate(rows))
 

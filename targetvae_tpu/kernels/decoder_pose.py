@@ -35,6 +35,7 @@ wrapper closes the chain per image with O(B*F) work:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -391,6 +392,11 @@ def _vjp_bwd(n, tr, act_kind, interpret, res, g):
 
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
+# Tile-row debug override, read ONCE at import: the jit cache does not key on
+# env vars, so a post-compile change would silently not apply for cached
+# shapes. Set TARGETVAE_DECODER_TR before the process's first compile.
+_DEBUG_TR = int(os.environ.get("TARGETVAE_DECODER_TR", "0"))
+
 
 def pose_decoder_supported(cfg) -> bool:
     """The pose kernel covers any depth (static hidden-layer loop); it needs
@@ -432,8 +438,7 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
     generator_apply(params, cfg, transform_coords(grid, dx, theta), z)."""
     n = image_dim
     if tr <= 0:
-        import os
-        tr = int(os.environ.get("TARGETVAE_DECODER_TR", "0"))  # debug knob
+        tr = _DEBUG_TR  # import-time debug knob (see definition)
     if tr <= 0:
         F_ = params["fourier"]["w"].shape[1]
         H_ = params["coord_linear"]["w"].shape[1]

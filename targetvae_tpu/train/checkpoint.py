@@ -83,6 +83,7 @@ class AsyncCheckpointer:
         import threading
         self._threading = threading
         self._thread = None
+        self._error: Optional[BaseException] = None
 
     def save(self, path: str, state, cfg: ModelConfig,
              host_state: Optional[dict] = None) -> None:
@@ -91,7 +92,7 @@ class AsyncCheckpointer:
         extra = {
             "opt_state": ser.to_state_dict(_to_host(state.opt_state)),
             "key": np.asarray(jax.random.key_data(state.key)),
-            "host": host_state or {},
+            "host": _to_host(host_state or {}),
         }
         payload = {
             "config": cfg.to_json(),
@@ -102,20 +103,28 @@ class AsyncCheckpointer:
         blob = serialization.msgpack_serialize(payload)
 
         def write():
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(_MAGIC)
-                f.write(blob)
-            os.replace(tmp, path)
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(_MAGIC)
+                    f.write(blob)
+                os.replace(tmp, path)
+            except BaseException as e:  # surface in wait(): disk full, perms
+                self._error = e
 
         t = self._threading.Thread(target=write, daemon=True)
         t.start()
         self._thread = t
 
     def wait(self) -> None:
+        """Join the in-flight write; re-raise any error it hit, so a failed
+        checkpoint (disk full, permissions) is not silently dropped."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
 
 
 def load_train_state(path: str, template_state):

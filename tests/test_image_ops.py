@@ -47,6 +47,26 @@ def test_normalize_ring():
         assert abs(out[i][ring].std() - 1) < 1e-4
 
 
+def test_crop_normalize_match_reference():
+    """Direct parity against src/image.py:30-60 (crop + ring-normalize)."""
+    from tests.conftest import reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from tests.helpers import import_reference_module
+    ref_image = import_reference_module("src.image")
+
+    rng = np.random.RandomState(3)
+    for n, size, radius in ((20, 14, None), (21, 15, 7.5)):
+        x = (rng.randn(5, n, n) * 2 + 1).astype(np.float32)
+        np.testing.assert_array_equal(crop(x, size),
+                                      np.stack([ref_image.crop(im, size)
+                                                for im in x]))
+        theirs = ref_image.normalize(x.astype(np.float64), radius=radius)
+        np.testing.assert_allclose(normalize(x.astype(np.float64),
+                                             radius=radius),
+                                   theirs, rtol=1e-10, atol=1e-10)
+
+
 def test_ctf_apply_dft_matches_conv():
     """DFT-as-matmul CTF application == the depthwise-conv reference path.
 

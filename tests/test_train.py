@@ -131,6 +131,43 @@ def test_async_checkpointer_matches_sync(tmp_path):
     assert int(s1.step) == int(s2.step) == 1
 
 
+def test_async_checkpointer_surfaces_write_errors(tmp_path):
+    """A failed background write (bad directory here; disk-full/perms in the
+    field) must re-raise from wait()/the next save(), not vanish silently."""
+    from targetvae_tpu.train import Trainer
+    from targetvae_tpu.train.checkpoint import AsyncCheckpointer
+    from targetvae_tpu.utils.config import TrainConfig
+
+    model = small_model()
+    trainer = Trainer(model, TrainConfig())
+    state = trainer.init_state(0)
+
+    ck = AsyncCheckpointer()
+    bad = os.path.join(tmp_path, "no_such_dir", "state.sav")
+    ck.save(bad, state, model.cfg)
+    with pytest.raises(OSError):
+        ck.wait()
+    # the error is consumed: a subsequent good save works
+    good = os.path.join(tmp_path, "state.sav")
+    ck.save(good, state, model.cfg)
+    ck.wait()
+    assert os.path.exists(good)
+
+
+def test_select_device_reports_selected(capsys):
+    """-d 1 must select (and report) device 1, not device 0 (8 virtual CPU
+    devices from conftest)."""
+    from targetvae_tpu.cli.common import select_device
+
+    assert len(jax.devices()) >= 2
+    select_device(1)
+    err = capsys.readouterr().err
+    assert str(jax.devices()[1]) in err
+    assert jax.config.jax_default_device == jax.devices()[1]
+    # restore for other tests in this process
+    jax.config.update("jax_default_device", None)
+
+
 def test_set_learning_rate():
     model = small_model()
     trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
