@@ -93,6 +93,12 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
                         help="tensor-parallel devices: shard the encoder "
                              "kernel / generator hidden axes over 'model' "
                              "(default: 1)")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence parallelism: shard the joint "
+                             "R*H'*W' posterior grid over the 'model' mesh "
+                             "axis (cross-device log-sum-exp + psum'd "
+                             "moments) — for grids too large for one chip; "
+                             "requires --tp > 1")
     parser.add_argument("--host-stream", action="store_true",
                         help="stream train batches from host RAM (threaded "
                              "shuffle/gather/prefetch) instead of keeping "
@@ -191,5 +197,6 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
         compute_dtype=(None if args.compute_dtype == "float32"
                        else args.compute_dtype),
         dp=getattr(args, "dp", 1), tp=getattr(args, "tp", 1),
+        sp=getattr(args, "sp", False),
         host_stream=getattr(args, "host_stream", False),
         **overrides)

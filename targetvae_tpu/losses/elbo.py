@@ -69,6 +69,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  ctf: Optional[jnp.ndarray] = None,
                  compute_dtype: Optional[jnp.dtype] = None,
                  allow_kernels: bool = True,
+                 sp=None,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns scalar (elbo, log_p_x_g_z, kl_div), batch means.
 
@@ -83,17 +84,85 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     allow_kernels=False forces the pure-XLA paths: pallas_call custom calls
     cannot be partitioned by GSPMD, so the Trainer passes dp*tp == 1 and a
     multi-device mesh run shards the (slower, but equivalent) XLA tiers.
+
+    sp: None, or a (mesh, axis_name) pair enabling the grid-sharded
+    posterior (sequence parallelism over the joint R*H'*W' cell axis,
+    parallel/grid_softmax.make_joint_posterior) for modes B and C. The
+    Gumbel noise is drawn once for the full grid, so an SP run samples
+    identically to the unsharded run.
     """
     ecfg, gcfg, lcfg = cfg.encoder, cfg.generator, cfg.likelihood
     b = y.shape[0]
     btw = 2.0 / (ecfg.image_dim - 1)
     k_enc, k_z, k_theta = jax.random.split(key, 3)
 
-    enc = encoder_apply(params["encoder"], ecfg, y, k_enc,
+    use_sp = sp is not None and ecfg.mode in ("B", "C")
+    enc = encoder_apply(params["encoder"], ecfg, y,
+                        None if use_sp else k_enc,
                         compute_dtype=compute_dtype,
-                        allow_kernels=allow_kernels)
+                        allow_kernels=allow_kernels,
+                        skip_posterior=use_sp)
 
-    if ecfg.mode == "A":
+    if use_sp:
+        from ..parallel.grid_softmax import make_joint_posterior
+        mesh, axis = sp
+        ad = attn_dim_for(ecfg)
+        M = ad * ad
+        grid_np = np.asarray(attention_grid(ad, ecfg.image_dim))
+        p_t = _translation_log_prior(grid_np)
+        if ecfg.mode == "C":
+            R = ecfg.groupconv
+            sig_r = np.pi / R if R >= 1 else ecfg.theta_prior
+            # r-minor flatten of (H', W', R), matching the unsharded tier
+            grid_cells = jnp.asarray(np.repeat(grid_np, R, axis=0))
+            log_prior = (jnp.asarray(p_t)[:, None] + enc["p_r"]).reshape(-1)
+            offs_cells = jnp.tile(enc["offsets"], M)
+        else:
+            R = 1
+            sig_r = ecfg.theta_prior
+            grid_cells = jnp.asarray(grid_np)
+            log_prior = jnp.asarray(p_t)
+            offs_cells = jnp.zeros((M,), jnp.float32)
+        cells = M * R
+        nshard = dict(mesh.shape)[axis]
+        attn_flat = enc["attn"].reshape(b, cells).astype(jnp.float32)
+        # same key+shape as the unsharded encoder's gumbel_softmax draw
+        noise = jax.random.gumbel(k_enc, (b, cells), jnp.float32)
+        th_mu = enc["theta_mu"].reshape(b, cells).astype(jnp.float32)
+        th_ls = enc["theta_logstd"].reshape(b, cells).astype(jnp.float32)
+        z_mu = enc["z_mu"].reshape(b, cells, ecfg.z_dim).astype(jnp.float32)
+        z_ls = enc["z_logstd"].reshape(b, cells,
+                                       ecfg.z_dim).astype(jnp.float32)
+        pad = (-cells) % nshard
+        if pad:
+            # shard_map needs even cell shards: pad with -1e30 logits. The
+            # pads get exactly-zero posterior/sample mass (exp underflows),
+            # the NaN guards neutralize their moments, and every psum'd
+            # term they contribute is 0 * finite = 0.
+            neg = jnp.full((b, pad), -1e30, jnp.float32)
+            attn_flat = jnp.concatenate([attn_flat, neg], axis=1)
+            noise = jnp.concatenate([noise, jnp.zeros((b, pad))], axis=1)
+            th_mu = jnp.concatenate([th_mu, jnp.zeros((b, pad))], axis=1)
+            th_ls = jnp.concatenate([th_ls, jnp.zeros((b, pad))], axis=1)
+            zpad = jnp.zeros((b, pad, ecfg.z_dim))
+            z_mu = jnp.concatenate([z_mu, zpad], axis=1)
+            z_ls = jnp.concatenate([z_ls, zpad], axis=1)
+            log_prior = jnp.concatenate(
+                [log_prior, jnp.full((pad,), -1e30, jnp.float32)])
+            grid_cells = jnp.concatenate(
+                [grid_cells, jnp.zeros((pad, 2), grid_cells.dtype)])
+            offs_cells = jnp.concatenate([offs_cells, jnp.zeros((pad,))])
+        block = make_joint_posterior(mesh, axis, sig_r=float(sig_r),
+                                     eps=_EPS)
+        z_mu_e, z_std_e, th_mu_e, th_std_e, dx, kl = block(
+            attn_flat, noise, th_mu, th_ls, z_mu, z_ls,
+            log_prior, grid_cells, offs_cells)
+        z = z_std_e * jax.random.normal(k_z, (b, ecfg.z_dim)) + z_mu_e
+        theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
+        kl_div = jnp.mean(kl)
+        x_t = transform_coords(x_coord, dx, theta)
+
+    elif ecfg.mode == "A":
         z_mu, z_logstd = enc["z_mu"], enc["z_logstd"]
         z_std = jnp.exp(z_logstd)
         r = jax.random.normal(k_z, z_mu.shape, dtype=z_mu.dtype)
@@ -178,7 +247,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
           and _use_posterior_kernel(compute_dtype)):
         # fused posterior kernel: softmax + Gumbel + moments + KL in one pass
         from ..kernels.posterior import fused_posterior
-        from ..models.encoders import attn_dim_for
         R = ecfg.groupconv
         ad = attn_dim_for(ecfg)
         M = ad * ad

@@ -265,13 +265,19 @@ def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
 def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                   key: Optional[jax.Array],
                   compute_dtype: Optional[jnp.dtype] = None,
-                  allow_kernels: bool = True) -> dict:
+                  allow_kernels: bool = True,
+                  skip_posterior: bool = False) -> dict:
     """y: (B, H, W, C) channels-last image batch. key: PRNG for the Gumbel
     sample (None disables sampling, e.g. for clustering/eval embedding).
 
     allow_kernels=False forces the XLA tiers — required under a multi-device
     GSPMD mesh, where pallas_call custom calls cannot be partitioned (the
     Trainer passes dp*tp == 1); the XLA path shards cleanly.
+
+    skip_posterior=True returns the raw heads (attn WITH the rotation prior
+    added, theta/z moments, offsets) but skips the joint log-softmax — for
+    callers that normalize/sample externally, e.g. the grid-sharded SP
+    posterior (parallel/grid_softmax.py).
     """
     act = _act(cfg.activation)
     zd = cfg.z_dim
@@ -342,7 +348,8 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     p_r = jnp.asarray(rotation_log_prior(cfg, R))                   # (R,)
     attn = attn.astype(jnp.float32) + p_r                           # broadcast over R
     flat = attn.reshape(b, -1)
-    q = jax.nn.log_softmax(flat, axis=-1).reshape(attn.shape)       # (B,H',W',R)
+    q = (None if skip_posterior
+         else jax.nn.log_softmax(flat, axis=-1).reshape(attn.shape))
 
     if cfg.rot_refinement:
         offsets = jnp.asarray(group_offsets(R))

@@ -2,19 +2,36 @@
 
 The model's "long axis" is the joint R x H' x W' posterior grid (up to
 16 x 65 x 65 ~ 68k cells) over which a log-softmax, a Gumbel draw, and
-attention-weighted moment reductions run (SURVEY.md section 5). For grids too
-large for one chip (or to scale batch x grid throughput), these ops shard the
-cell axis across devices inside shard_map: a cross-device log-sum-exp
-(pmax + psum — the ring-attention-shaped pattern) normalizes the posterior,
-and the weighted moments psum their partial sums. Communication is O(B) per
-reduction, independent of grid size.
+attention-weighted moment reductions run (SURVEY.md section 5; the op the
+reference does at src/models.py:383-387 plus the moment/KL assembly at
+train_mnist.py:203-281). For grids too large for one chip (or to scale
+batch x grid throughput), these ops shard the cell axis across devices
+inside shard_map: a cross-device log-sum-exp (pmax + psum — the
+ring-attention-shaped pattern) normalizes the posterior, and the weighted
+moments psum their partial sums. Communication is O(B) per reduction,
+independent of grid size.
+
+`make_joint_posterior` is the training-path entry point: the complete
+mode-B/C posterior block (softmax + Gumbel + expected moments + dx + KL)
+with the cell axis sharded over the mesh's 'model' axis and the batch axis
+left on 'data'. compute_elbo calls it when the Trainer enables SP
+(TrainConfig.sp / the --sp CLI flag).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 top-level API
+    from jax import shard_map as _shard_map
+    _SM_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _SM_KW = {"check_rep": False}
 
 
 def sharded_log_softmax(logits: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -56,7 +73,6 @@ def sharded_weighted_moments(weights: jnp.ndarray, values: jnp.ndarray,
 def make_sharded_posterior(mesh: Mesh, axis: str = "model"):
     """Returns fn(attn_flat (B, M), key, z (B, M, D)) -> (q, a_sampled, E[z])
     computed with the cell axis sharded over `axis` of `mesh`."""
-    from jax.experimental.shard_map import shard_map
 
     def inner(attn, key, z):
         q = sharded_log_softmax(attn, axis)
@@ -64,8 +80,80 @@ def make_sharded_posterior(mesh: Mesh, axis: str = "model"):
         ez = sharded_weighted_moments(a, z, axis)
         return q, a, ez
 
-    return shard_map(
+    return _shard_map(
         inner, mesh=mesh,
         in_specs=(P(None, axis), P(), P(None, axis, None)),
         out_specs=(P(None, axis), P(None, axis), P()),
-        check_rep=False)
+        **_SM_KW)
+
+
+# ---------------------------------------------------------------------------
+# full posterior block for the training path
+# ---------------------------------------------------------------------------
+
+def _posterior_block(axis, eps, sig_r,
+                     attn, noise, th_mu, th_logstd, z_mu, z_logstd,
+                     log_prior, grid_cells, offs_cells):
+    """Runs per-shard inside shard_map. All cell axes are local shards;
+    reductions over cells psum across `axis`. Mirrors the unsharded mode-C
+    assembly in losses/elbo.py (match point: train_mnist.py:187-282)."""
+    q = sharded_log_softmax(attn, axis)                         # (B, mc)
+    # Gumbel-softmax with pre-drawn noise (drawn ONCE for the full grid by
+    # the caller, so sharded and unsharded runs sample identically)
+    a = jnp.exp(sharded_log_softmax(attn + noise, axis))        # (B, mc)
+
+    z_std = jnp.exp(z_logstd) + eps
+    th_std = jnp.exp(th_logstd) + eps
+
+    z_mu_e = sharded_weighted_moments(a, z_mu, axis)            # (B, zd)
+    z_std_e = sharded_weighted_moments(a, z_std, axis)
+    th_mu_e = jax.lax.psum(jnp.einsum("bm,bm->b", th_mu, a), axis)
+    th_std_e = jax.lax.psum(jnp.einsum("bm,bm->b", th_std, a), axis)
+    dx = jax.lax.psum(jnp.einsum("mj,bm->bj", grid_cells, a), axis)
+
+    # KL: discrete joint KL + expected conditional KLs, NaN-guarded like the
+    # reference's torch.where (ops/kl.guarded_moments)
+    from ..ops.kl import guarded_moments, normal_kl
+    p_cells = sharded_log_softmax(log_prior[None, :], axis)[0]  # (mc,)
+    val1 = jax.lax.psum(jnp.sum(jnp.exp(q) * (q - p_cells), axis=1), axis)
+
+    zg_mu, zg_std = guarded_moments(q[..., None], z_mu, z_std)
+    tg_mu, tg_std = guarded_moments(q, th_mu, th_std)
+    kl_z = jnp.sum(normal_kl(zg_mu, zg_std, 0.0, 1.0), axis=-1)
+    kl_th = normal_kl(tg_mu, tg_std, offs_cells, sig_r)
+    val2 = jax.lax.psum(jnp.sum(jnp.exp(q) * (kl_th + kl_z), axis=1), axis)
+
+    return z_mu_e, z_std_e, th_mu_e, th_std_e, dx, val1 + val2
+
+
+def make_joint_posterior(mesh: Mesh, axis: str = "model",
+                         data_axis: str = "data",
+                         eps: float = 1e-6, sig_r: float = 1.0):
+    """The complete attention-posterior block with the joint grid sharded.
+
+    Returns fn(attn, noise, th_mu, th_logstd, z_mu, z_logstd, log_prior,
+    grid_cells, offs_cells) -> (z_mu_e, z_std_e, th_mu_e, th_std_e, dx, kl):
+
+      attn       (B, Mc)  prior-added attention logits over ALL joint cells
+                          (r-minor flatten of (H', W', R) for mode C; Mc must
+                          divide by the 'model' axis size)
+      noise      (B, Mc)  standard Gumbel noise for the joint sample
+      th_mu/th_logstd (B, Mc); z_mu/z_logstd (B, Mc, zd)
+      log_prior  (Mc,)    unnormalized log p(cell) (p_t + p_r); normalized
+                          here with the cross-device LSE
+      grid_cells (Mc, 2)  translation coordinate of each cell
+      offs_cells (Mc,)    conditional prior mean for theta per cell
+
+    The batch axis stays sharded over `data_axis`; every cell reduction is a
+    psum over `axis` — O(B) bytes per reduction, grid-size independent.
+    """
+    block = functools.partial(_posterior_block, axis, eps, sig_r)
+    bspec = P(data_axis)
+    return _shard_map(
+        block, mesh=mesh,
+        in_specs=(P(data_axis, axis), P(data_axis, axis),
+                  P(data_axis, axis), P(data_axis, axis),
+                  P(data_axis, axis, None), P(data_axis, axis, None),
+                  P(axis), P(axis, None), P(axis)),
+        out_specs=(bspec, bspec, bspec, bspec, bspec, bspec),
+        **_SM_KW)

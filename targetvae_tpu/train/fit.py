@@ -63,6 +63,14 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         logger.line(f"# resumed from {ckpt} at epoch {start_epoch}, "
                     f"lr {scheduler.lr:g}")
 
+    if train_cfg.sp:
+        if train_cfg.tp <= 1:
+            raise SystemExit("--sp shards the posterior grid over the "
+                             "'model' mesh axis; it requires --tp > 1")
+        if model.cfg.encoder.mode not in ("B", "C"):
+            raise SystemExit("--sp needs an attention posterior "
+                             "(t_inf=attention)")
+
     n_mesh = train_cfg.dp * train_cfg.tp
     if n_mesh > 1:
         # ('data', 'model') mesh: DP shards the batch (compiler-inserted

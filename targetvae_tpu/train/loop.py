@@ -40,6 +40,7 @@ class Trainer:
         # 'model' (TP) axis the params are sharded and the numerically
         # equivalent XLA tiers run instead (they shard cleanly).
         self._allow_kernels = (train_cfg.dp * train_cfg.tp) <= 1
+        self._sp = bool(getattr(train_cfg, "sp", False))
         self._mesh = None
         self._x_coord = model.base_grid()
 
@@ -75,6 +76,17 @@ class Trainer:
                 and self._kernels_would_engage())
 
     # -- core loss/step ----------------------------------------------------
+    def _sp_ctx(self, batch_size: int):
+        """(mesh, 'model') when the grid-sharded posterior applies: --sp on,
+        a model axis to shard over, and the batch splitting evenly over
+        'data' (shard_map needs even shards; ragged tails fall back)."""
+        if not (self._sp and self._mesh is not None):
+            return None
+        shape = dict(self._mesh.shape)
+        if shape.get("model", 1) <= 1 or batch_size % shape["data"]:
+            return None
+        return (self._mesh, "model")
+
     def _loss_fn(self, params, y, key, ctf):
         # ragged tail batches can't split evenly across shards: they take the
         # GSPMD/XLA path (kernels off) while full batches keep the kernels
@@ -84,7 +96,8 @@ class Trainer:
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
                                        compute_dtype=self.compute_dtype,
-                                       allow_kernels=self._allow_kernels)
+                                       allow_kernels=self._allow_kernels,
+                                       sp=self._sp_ctx(y.shape[0]))
         return -elbo, (log_p, kl)
 
     def _loss_fn_dp(self, params, y, key, ctf):

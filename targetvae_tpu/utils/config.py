@@ -111,6 +111,9 @@ class TrainConfig:
     # ('data', 'model') mesh shape; dp*tp == 1 keeps the single-device path
     dp: int = 1                          # data-parallel mesh axis size
     tp: int = 1                          # tensor-parallel mesh axis size
+    # sequence parallelism: shard the joint posterior grid over 'model'
+    # (parallel/grid_softmax.py); needs tp > 1
+    sp: bool = False
     # stream train batches from host RAM (shuffle/gather/prefetch pipeline)
     # instead of keeping the whole train set in HBM
     host_stream: bool = False

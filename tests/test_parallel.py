@@ -64,6 +64,67 @@ def test_dryrun_multichip_entry():
     g.dryrun_multichip(2)
 
 
+def test_sp_train_step_matches_single_device():
+    """--sp (grid-sharded posterior, parallel/grid_softmax.py) training step
+    matches the unsharded step numerically on the P16 / 65x65 attention grid
+    — the 67k-cell joint posterior SURVEY section 5 names. Gumbel noise is
+    drawn once for the full grid, so both runs sample identically."""
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=1,
+                        fourier_expansion=False),
+        EncoderConfig(image_dim=64, z_dim=2, kernels_num=8, kernels_size=64,
+                      padding=32, groupconv=16),
+        LikelihoodConfig()))
+    from targetvae_tpu.models.encoders import attn_dim_for
+    assert attn_dim_for(model.cfg.encoder) == 65  # 65*65*16 = 67600 cells
+
+    y = jax.random.uniform(jax.random.key(1), (4, 64, 64, 1))
+
+    plain = Trainer(model, TrainConfig(learning_rate=1e-3))
+    s0 = plain.init_state(0)
+    _, m_single = plain._train_step(s0, y)
+
+    cfg_sp = TrainConfig(learning_rate=1e-3, dp=2, tp=4, sp=True)
+    sp_tr = Trainer(model, cfg_sp)
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    sp_tr.attach_mesh(mesh)
+    assert sp_tr._sp_ctx(4) == (mesh, "model")
+    s1 = shard_state(mesh, sp_tr.init_state(0))
+    ys, _ = shard_batch(mesh, y)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys)
+
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_sp),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_sp_mode_b_padded_cells():
+    """Mode B's odd 17x17 grid (289 cells) does not divide the 4-way model
+    axis; the -1e30 cell padding must keep the SP step finite and equal to
+    the unsharded step."""
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=1,
+                        fourier_expansion=False),
+        EncoderConfig(t_inf="attention", r_inf="unimodal", image_dim=16,
+                      z_dim=2, kernels_num=8, groupconv=0),
+        LikelihoodConfig()))
+
+    y = jax.random.uniform(jax.random.key(1), (4, 16, 16, 1))
+    plain = Trainer(model, TrainConfig(learning_rate=1e-3))
+    _, m_single = plain._train_step(plain.init_state(0), y)
+
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2, tp=4,
+                                       sp=True))
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    sp_tr.attach_mesh(mesh)
+    s1 = shard_state(mesh, sp_tr.init_state(0))
+    ys, _ = shard_batch(mesh, y)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys)
+
+    assert np.isfinite(np.asarray(m_sp)).all()
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_sp),
+                               rtol=2e-4, atol=1e-3)
+
+
 def test_data_parallel_epoch():
     """Trainer epoch with data sharded over all 8 devices (pure DP)."""
     model = _model()
