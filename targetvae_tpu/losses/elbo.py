@@ -82,8 +82,10 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     arbitrary x_coord.
 
     allow_kernels=False forces the pure-XLA paths: pallas_call custom calls
-    cannot be partitioned by GSPMD, so the Trainer passes dp*tp == 1 and a
-    multi-device mesh run shards the (slower, but equivalent) XLA tiers.
+    cannot be partitioned by GSPMD. Under a mesh the Trainer instead calls
+    this per-shard inside shard_map with allow_kernels=True (batch split
+    over both mesh axes), falling back to the sharded XLA tiers only for
+    ragged tail batches and --sp runs.
 
     sp: None, or a (mesh, axis_name) pair enabling the grid-sharded
     posterior (sequence parallelism over the joint R*H'*W' cell axis,

@@ -270,9 +270,10 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     """y: (B, H, W, C) channels-last image batch. key: PRNG for the Gumbel
     sample (None disables sampling, e.g. for clustering/eval embedding).
 
-    allow_kernels=False forces the XLA tiers — required under a multi-device
-    GSPMD mesh, where pallas_call custom calls cannot be partitioned (the
-    Trainer passes dp*tp == 1); the XLA path shards cleanly.
+    allow_kernels=False forces the XLA tiers — required under a pure-GSPMD
+    multi-device mesh, where pallas_call custom calls cannot be partitioned;
+    the XLA path shards cleanly. (The Trainer's per-shard shard_map path
+    instead calls with allow_kernels=True on local batch slices.)
 
     skip_posterior=True returns the raw heads (attn WITH the rotation prior
     added, theta/z moments, offsets) but skips the joint log-softmax — for

@@ -96,6 +96,12 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         y_test, ctf_test = shard_batch(mesh, y_test, ctf_test)
         logger.line(f"# mesh: data={train_cfg.dp} model={train_cfg.tp} "
                     f"({n_mesh} devices)")
+        if (train_cfg.compute_dtype == "bfloat16" and not train_cfg.sp
+                and train_cfg.minibatch_size % n_mesh):
+            logger.line(f"# note: --minibatch-size "
+                        f"{train_cfg.minibatch_size} is not divisible by "
+                        f"dp*tp={n_mesh}; the per-shard fused-kernel path "
+                        f"is disabled (XLA tiers run instead)")
 
     train_pipe = None
     if train_cfg.host_stream:
@@ -128,13 +134,20 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
             jax.profiler.start_trace(profile_dir)
 
         t0 = time.time()
+        # per-minibatch/chunk streaming-mean progress, the reference's \r
+        # stderr line (train_mnist.py:340-343)
+        def report(c, elbo_m, err_m, kl_m, _epoch=epoch):
+            logger.progress(f"# [{_epoch + 1}/{num_epochs}] training "
+                            f"{c / n_train:.1%}, ELBO={elbo_m:.5f}, "
+                            f"Error={err_m:.5f}, KL={kl_m:.5f}")
         if train_pipe is not None:
             state, (elbo, gen_loss, kl) = trainer.train_epoch_stream(
-                state, train_pipe.epoch(epoch))
+                state, train_pipe.epoch(epoch), progress=report)
         else:
             state, (elbo, gen_loss, kl) = trainer.train_epoch(
-                state, y_train, ctf_train)
+                state, y_train, ctf_train, progress=report)
         dt = time.time() - t0
+        logger.progress(" " * 100)     # clear the \r progress line
         state_box["state"] = state
         logger.epoch(epoch + 1, "train", elbo, gen_loss, kl)
         logger.progress(f"# epoch {epoch + 1}: {dt:.2f}s, "

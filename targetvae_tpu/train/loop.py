@@ -34,11 +34,14 @@ class Trainer:
         self.opt = make_optimizer(train_cfg.learning_rate)
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16" else None)
-        # pallas_call custom calls cannot be partitioned by GSPMD. On a
-        # DP-only mesh the loss runs per-shard inside shard_map (attach_mesh)
-        # so every Pallas kernel still fires on its local batch; with a
-        # 'model' (TP) axis the params are sharded and the numerically
-        # equivalent XLA tiers run instead (they shard cleanly).
+        # pallas_call custom calls cannot be partitioned by GSPMD. On any
+        # mesh the loss can instead run per-shard inside shard_map
+        # (attach_mesh) so every Pallas kernel still fires on its local
+        # batch slice: the batch is split over BOTH mesh axes and the
+        # TP-sharded params are all-gathered at the loss boundary (~3M
+        # params — a few MB over ICI, amortized against the kernels' step
+        # win). Outside shard_map (ragged tails, --sp) the numerically
+        # equivalent XLA tiers run and shard cleanly under GSPMD.
         self._allow_kernels = (train_cfg.dp * train_cfg.tp) <= 1
         self._sp = bool(getattr(train_cfg, "sp", False))
         self._mesh = None
@@ -59,9 +62,10 @@ class Trainer:
 
     # -- mesh attachment ---------------------------------------------------
     def attach_mesh(self, mesh) -> None:
-        """Called by fit() after building the ('data','model') mesh. On a
-        DP-only mesh (model axis 1) the loss is wrapped in shard_map so the
-        Pallas kernel tiers run per data shard; any TP keeps pure GSPMD."""
+        """Called by fit() after building the ('data','model') mesh. The
+        loss is wrapped in shard_map (batch split over both axes) so the
+        Pallas kernel tiers run per shard; --sp keeps pure GSPMD + the
+        grid-sharded posterior instead."""
         self._mesh = mesh
 
     def _kernels_would_engage(self) -> bool:
@@ -70,10 +74,13 @@ class Trainer:
                 and jax.default_backend() == "tpu"
                 and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
 
-    def _use_dp_shardmap(self) -> bool:
+    def _use_mesh_shardmap(self) -> bool:
         return (self._mesh is not None
-                and dict(self._mesh.shape).get("model", 1) == 1
+                and not self._sp
                 and self._kernels_would_engage())
+
+    # kept as an alias: tests/docs reference the DP-era name
+    _use_dp_shardmap = _use_mesh_shardmap
 
     # -- core loss/step ----------------------------------------------------
     def _sp_ctx(self, batch_size: int):
@@ -90,8 +97,8 @@ class Trainer:
     def _loss_fn(self, params, y, key, ctf):
         # ragged tail batches can't split evenly across shards: they take the
         # GSPMD/XLA path (kernels off) while full batches keep the kernels
-        if (self._use_dp_shardmap()
-                and y.shape[0] % dict(self._mesh.shape)["data"] == 0):
+        if (self._use_mesh_shardmap()
+                and y.shape[0] % self._mesh.size == 0):
             return self._loss_fn_dp(params, y, key, ctf)
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
@@ -101,11 +108,14 @@ class Trainer:
         return -elbo, (log_p, kl)
 
     def _loss_fn_dp(self, params, y, key, ctf):
-        """Per-shard loss on a DP-only mesh: each shard runs the full fused
-        kernel path on its local batch, scalars are pmean'd (fit() enforces
-        minibatch % dp == 0, so shards are equal-sized). The PRNG key is
-        folded with the shard index — sampling matches the single-device run
-        in distribution, not bitwise."""
+        """Per-shard loss under shard_map: the batch is split over BOTH mesh
+        axes (so a ('data','model') mesh keeps every device computing with
+        the fused kernels live), the TP-sharded params are gathered to the
+        P() spec at the boundary, and scalars are pmean'd over the whole
+        mesh. Equal shard sizes are guaranteed by the caller's
+        batch % mesh.size check. The PRNG key is folded with the flattened
+        shard index — sampling matches the single-device run in
+        distribution, not bitwise."""
         from jax.sharding import PartitionSpec as P
         try:
             from jax import shard_map
@@ -114,18 +124,22 @@ class Trainer:
             from jax.experimental.shard_map import shard_map
             extra = {"check_rep": False}
 
+        axes = ("data", "model")
+
         def local(params, y, ctf, key):
-            k = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            idx = (jax.lax.axis_index("data") * jax.lax.axis_size("model")
+                   + jax.lax.axis_index("model"))
+            k = jax.random.fold_in(key, idx)
             elbo, log_p, kl = compute_elbo(
                 params, self.model.cfg, self._x_coord, y, k, ctf=ctf,
                 compute_dtype=self.compute_dtype, allow_kernels=True)
-            return (jax.lax.pmean(-elbo, "data"),
-                    (jax.lax.pmean(log_p, "data"),
-                     jax.lax.pmean(kl, "data")))
+            return (jax.lax.pmean(-elbo, axes),
+                    (jax.lax.pmean(log_p, axes),
+                     jax.lax.pmean(kl, axes)))
 
         sm = shard_map(
             local, mesh=self._mesh,
-            in_specs=(P(), P("data"), P("data") if ctf is not None else P(),
+            in_specs=(P(), P(axes), P(axes) if ctf is not None else P(),
                       P()),
             out_specs=(P(), (P(), P())), **extra)
         return sm(params, y, ctf, key)
@@ -173,12 +187,23 @@ class Trainer:
         _, metrics = jax.lax.scan(body, None, (idx, keys))
         return metrics
 
+    # batches per scan chunk when a progress callback wants mid-epoch
+    # reports; one chunk ~= a second of device work at flagship step times
+    progress_chunk = 50
+
     # -- public API --------------------------------------------------------
     def train_epoch(self, state: TrainState, data: jnp.ndarray,
                     ctf: Optional[jnp.ndarray] = None,
+                    progress=None,
                     ) -> Tuple[TrainState, Tuple[float, float, float]]:
         """One epoch over `data` (N, H, W, C). Returns (state, (elbo, gen_loss,
-        kl)) with gen_loss = -log_p, matching the reference's reported Error."""
+        kl)) with gen_loss = -log_p, matching the reference's reported Error.
+
+        progress: optional callback(images_seen, elbo, gen_loss, kl) called
+        with the reference's streaming-mean accumulators
+        (train_mnist.py:326-345) every `progress_chunk` batches. The epoch
+        scan is chunked so the device keeps running while the host reports:
+        chunk k+1 is dispatched before chunk k's metrics are read."""
         n = data.shape[0]
         b = min(self.batch, n)
         # derive the shuffle deterministically from the state key
@@ -187,10 +212,35 @@ class Trainer:
         perm = jax.random.permutation(sub, n)
 
         n_full = n // b
-        state, metrics = self._train_scan(state, data, ctf, perm,
-                                          n_batches=n_full, batch=b)
-        weights = [float(b)] * n_full
-        metrics = [np.asarray(metrics)]
+        chunk = n_full if progress is None else min(self.progress_chunk,
+                                                    n_full)
+        metrics = []
+        weights = []
+        seen = 0
+        pending = None                 # device metrics of the previous chunk
+        done = 0
+        while done < n_full:
+            take = min(chunk, n_full - done)
+            # same split/permutation as one whole-epoch scan: the chunk just
+            # consumes the next `take` index rows
+            sub_perm = perm[done * b:(done + take) * b]
+            state, m = self._train_scan(state, data, ctf, sub_perm,
+                                        n_batches=take, batch=b)
+            done += take
+            if pending is not None:    # blocks on the PREVIOUS chunk only
+                host = np.asarray(pending)
+                metrics.append(host)
+                seen += host.shape[0] * b
+                weights += [float(b)] * host.shape[0]
+                if progress is not None:
+                    progress(seen, *_streaming_means(metrics, weights))
+            pending = m
+        if pending is not None:
+            host = np.asarray(pending)
+            metrics.append(host)
+            seen += host.shape[0] * b
+            weights += [float(b)] * host.shape[0]
+
         rem = n - n_full * b
         if rem:
             tail = perm[n_full * b:]
@@ -201,17 +251,24 @@ class Trainer:
             weights.append(float(rem))
         return state, _weighted_mean(np.concatenate(metrics), weights)
 
-    def train_epoch_stream(self, state: TrainState, batches,
+    def train_epoch_stream(self, state: TrainState, batches, progress=None,
                            ) -> Tuple[TrainState, Tuple[float, float, float]]:
         """One epoch over a host iterator of (y, ctf) device batches (see
         data/pipeline.HostDataPipeline) — the streaming path for datasets that
-        don't fit in HBM. Batches of equal size reuse one compiled step."""
+        don't fit in HBM. Batches of equal size reuse one compiled step.
+
+        progress: optional callback(images_seen, elbo, gen_loss, kl), called
+        after every minibatch like the reference's \\r stderr line."""
         metrics = []
         weights = []
+        seen = 0
         for y, ctf in batches:
             state, m = self._train_step(state, y, ctf)
             metrics.append(np.asarray(m)[None])
             weights.append(float(y.shape[0]))
+            seen += int(y.shape[0])
+            if progress is not None:
+                progress(seen, *_streaming_means(metrics, weights))
         return state, _weighted_mean(np.concatenate(metrics), weights)
 
     def eval_epoch(self, state: TrainState, data: jnp.ndarray,
@@ -243,3 +300,10 @@ def _weighted_mean(metrics: np.ndarray, weights) -> Tuple[float, float, float]:
     w = np.asarray(weights)[:, None]
     m = (metrics * w).sum(0) / w.sum()
     return float(m[0]), float(-m[1]), float(m[2])
+
+
+def _streaming_means(metrics, weights) -> Tuple[float, float, float]:
+    """Running (elbo, gen_loss, kl) over the batches seen so far — the
+    weighted mean the reference's per-minibatch accumulators converge to
+    (train_mnist.py:330-338)."""
+    return _weighted_mean(np.concatenate(metrics), weights)

@@ -168,6 +168,30 @@ def test_select_device_reports_selected(capsys):
     jax.config.update("jax_default_device", None)
 
 
+def test_train_epoch_progress_chunks_match_plain_epoch():
+    """The chunked-scan progress path reports streaming means mid-epoch and
+    leaves the epoch result identical to the unchunked scan."""
+    model = small_model()
+
+    y = jax.random.uniform(jax.random.key(1), (40, 12, 12, 1))
+    t1 = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=8))
+    s_plain, m_plain = t1.train_epoch(t1.init_state(0), y)
+
+    t2 = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=8))
+    t2.progress_chunk = 2              # 5 full batches -> chunks of 2, 2, 1
+    calls = []
+    s_prog, m_prog = t2.train_epoch(t2.init_state(0), y,
+                                    progress=lambda *a: calls.append(a))
+    # reports arrive mid-epoch (all chunks except the last, pipelined)
+    assert len(calls) == 2
+    assert calls[0][0] == 16 and calls[1][0] == 32  # images seen
+    assert all(np.isfinite(c[1]) for c in calls)
+    np.testing.assert_allclose(m_plain, m_prog, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_prog.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_set_learning_rate():
     model = small_model()
     trainer = Trainer(model, TrainConfig(learning_rate=2e-4))
