@@ -155,22 +155,29 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     dpre1_16 = dpre1.astype(jnp.bfloat16)
     db1 = jnp.sum(dpre1, axis=0, keepdims=True)
 
-    # fused pose-frequency cotangents (module docstring): with U=cos(ax),
-    # V=sin(ax), d(ax) = dV*U - dU*V, then dw0 = sum_j gx[j] d(ax)[j,:];
-    # likewise d(ay) over this row tile with gy at the GLOBAL row index.
-    # dp/dq vanish on padded rows (df3 is masked), so gy there is irrelevant.
-    # Everything with an F axis — the f tile (dw1), df, and the reductions —
-    # is F-parallel and runs in static F-chunks, halving the peak VMEM
-    # temporaries; that headroom buys larger row tiles at big image dims.
+    # fused pose-frequency cotangents via the sine-addition identity:
+    # f = U[j]P[i] - V[j]Q[i] = cos(ax_j + ay_i), and the phase cotangent
+    # per pixel is d(phase) = -df3 * sin(ax_j + ay_i) with
+    # sin(ax+ay) = V[j]P[i] + U[j]Q[i]. Then
+    #   dfc[f] = sum_px d(phase);  dfx[f] = sum_px gx[j] d(phase);
+    #   dfy[f] = sum_px gy[i] d(phase)
+    # — ONE elementwise product T = df3 * s plus a single (px, 3)-weighted
+    # MXU contraction, replacing the four cross-axis VPU reductions
+    # (dp/dq/du/dv) of the direct form, which dominated the bwd at big
+    # image dims (~7 ms of VPU work at EMPIAR scale). The reduction stays
+    # f32 end to end (its FLOPs are negligible). Padded rows have p=q=0,
+    # so s and T vanish there automatically.
     # Mosaic iota is integer-only; build int32 then cast.
-    jx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
-    iy = (jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0)
-          + tr * t_idx).astype(jnp.float32)
-    gx = -1.0 + (2.0 / (n - 1)) * jx
-    gy = 1.0 - (2.0 / (hp_rows - 1)) * iy
+    px_i = jax.lax.broadcasted_iota(jnp.int32, (tr * n, 1), 0)
+    jx = (px_i % n).astype(jnp.float32)
+    iy = (px_i // n + tr * t_idx).astype(jnp.float32)
+    ones = jnp.ones((tr * n, 1), jnp.float32)
+    gxv = -1.0 + (2.0 / (n - 1)) * jx
+    gyv = 1.0 - (2.0 / (hp_rows - 1)) * iy
+    wred = jnp.concatenate([ones, gxv, gyv], axis=1)    # (px, 3)
     n_chunks = 2 if F % 256 == 0 else 1
     Fc = F // n_chunks
-    dw1_parts, dfx_parts, dfy_parts, dfc_parts = [], [], [], []
+    dw1_parts, red_parts = [], []
     for c in range(n_chunks):
         sl = slice(c * Fc, (c + 1) * Fc)
         uc, vc, pc, qc = u[:, sl], v[:, sl], p[:, sl], q[:, sl]
@@ -180,21 +187,18 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
             preferred_element_type=jnp.float32))        # (Fc, H)
         df3 = jax.lax.dot_general(
             dpre1_16, w1_ref[sl, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(tr, n, Fc)
-        # f = U[j]P[i] - V[j]Q[i]
-        dp = jnp.sum(df3 * uc[None], axis=1)            # (tr, Fc)
-        dq = -jnp.sum(df3 * vc[None], axis=1)
-        du_t = jnp.sum(df3 * pc[:, None], axis=0)       # (n, Fc)
-        dv_t = -jnp.sum(df3 * qc[:, None], axis=0)
-        dax = dv_t * uc - du_t * vc
-        day = dq * pc - dp * qc
-        dfx_parts.append(jnp.sum(gx * dax, axis=0, keepdims=True))
-        dfy_parts.append(jnp.sum(gy * day, axis=0, keepdims=True))
-        dfc_parts.append(jnp.sum(day, axis=0, keepdims=True))
+            preferred_element_type=jnp.float32)         # (px, Fc)
+        s = (vc[None, :, :] * pc[:, None, :]
+             + uc[None, :, :] * qc[:, None, :]).reshape(tr * n, Fc)
+        T = df3 * s                                     # (px, Fc) f32
+        red_parts.append(jax.lax.dot_general(
+            wred, T, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))        # (3, Fc)
     dw1 = jnp.concatenate(dw1_parts, axis=0)            # (F, H)
-    dfx = jnp.concatenate(dfx_parts, axis=-1)           # (1, F)
-    dfy = jnp.concatenate(dfy_parts, axis=-1)
-    dfc = jnp.concatenate(dfc_parts, axis=-1)
+    red = -jnp.concatenate(red_parts, axis=-1)          # (3, F)
+    dfc = red[0:1, :]
+    dfx = red[1:2, :]
+    dfy = red[2:3, :]
 
     # freq outputs are (8, F) blocks indexed b//8 (Mosaic needs the
     # second-minor block dim divisible by 8): zero the block on entry, then

@@ -31,8 +31,15 @@ from .decoder_pose import _dact_from_h
 
 
 def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
-                R: int, K: int, D: int, act_kind: str, save_res: bool,
-                lift: bool):
+                R: int, K: int, D: int, G: int, act_kind: str,
+                save_res: bool, lift: bool):
+    """w2_ref/wh_ref hold GROUP-BLOCK-DIAGONAL weights kron(I_G, w2) /
+    kron(I_G, wh): G rotations share one (G*K, G*K) matmul. The mixing is
+    block-diagonal over rotations with the SAME w2 for every r, so per-r
+    (T,K)@(K,K) matmuls are mathematically equal but run ~25 us/tile of MXU
+    launch overhead at R=8 (the measured mix_heads bwd cost at EMPIAR
+    scale); grouping trades G-fold redundant FLOPs (zeros off the diagonal)
+    for R/G-fold fewer, deeper matmuls."""
     if lift:
         # h1_ref holds the RAW conv output pre1 (no bias, no act); bc is the
         # lift bias — the activation lives in-kernel so its backward does too
@@ -42,23 +49,30 @@ def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
     else:
         h1 = h1_ref[0]                               # (T, R*K) bf16
     out_ref, rest_refs = rest_refs[0], rest_refs[1:]
+    GK, GD = G * K, G * D
+    b2t = jnp.concatenate([b2_ref[...]] * G, axis=-1)   # (1, G*K)
+    bht = jnp.concatenate([bh_ref[...]] * G, axis=-1)   # (1, G*D)
     outs = []
     h2s = []
-    for r in range(R):
-        h1r = h1[:, r * K:(r + 1) * K]
-        pre2 = jnp.dot(h1r, w2_ref[...],
-                       preferred_element_type=jnp.float32) + b2_ref[...]
+    for gi in range(R // G):
+        h1g = h1[:, gi * GK:(gi + 1) * GK]
+        pre2 = jnp.dot(h1g, w2_ref[...],
+                       preferred_element_type=jnp.float32) + b2t
         h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
         h2s.append(h2)
         outs.append(jnp.dot(h2, wh_ref[...],
-                            preferred_element_type=jnp.float32) + bh_ref[...])
+                            preferred_element_type=jnp.float32) + bht)
     out_ref[0] = jnp.concatenate(outs, axis=-1)      # (T, R*D)
     if save_res:
         rest_refs[0][0] = jnp.concatenate(h2s, axis=-1)  # h2 (T, R*K) bf16
 
 
 def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
-                R: int, K: int, D: int, act_kind: str, lift: bool):
+                R: int, K: int, D: int, G: int, act_kind: str, lift: bool):
+    """Grouped like the forward (see _fwd_kernel): the per-group weight
+    cotangents come out as (G*K, G*K)/(G*K, G*D) full products whose
+    diagonal K-blocks are summed — the off-diagonal blocks correspond to
+    the structural zeros of the block-diagonal weights and are discarded."""
     t_idx = pl.program_id(0)
     if lift:
         bc_ref = rest_refs[0]
@@ -71,41 +85,50 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
         h1 = h1_ref[0]
     h2 = h2_ref[0]
     g = g_ref[0]                                     # (T, R*D) f32
+    GK, GD = G * K, G * D
 
-    dw2 = jnp.zeros((K, K), jnp.float32)
-    db2 = jnp.zeros((1, K), jnp.float32)
-    dwh = jnp.zeros((K, D), jnp.float32)
-    dbh = jnp.zeros((1, D), jnp.float32)
+    dw2_full = jnp.zeros((GK, GK), jnp.float32)
+    db2_full = jnp.zeros((1, GK), jnp.float32)
+    dwh_full = jnp.zeros((GK, GD), jnp.float32)
+    dbh_full = jnp.zeros((1, GD), jnp.float32)
     dh1_parts = []
     dbc_parts = []
-    for r in range(R):
-        h1r = h1[:, r * K:(r + 1) * K]
-        h2r = h2[:, r * K:(r + 1) * K]
-        gr = g[:, r * D:(r + 1) * D]
-        gr16 = gr.astype(jnp.bfloat16)
-        dwh += jax.lax.dot_general(h2r, gr16, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dbh += jnp.sum(gr, axis=0, keepdims=True)
-        dh2 = jax.lax.dot_general(gr16, wh_ref[...], (((1,), (1,)), ((), ())),
+    for gi in range(R // G):
+        h1g = h1[:, gi * GK:(gi + 1) * GK]
+        h2g = h2[:, gi * GK:(gi + 1) * GK]
+        gg = g[:, gi * GD:(gi + 1) * GD]
+        gg16 = gg.astype(jnp.bfloat16)
+        dwh_full += jax.lax.dot_general(h2g, gg16, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        dbh_full += jnp.sum(gg, axis=0, keepdims=True)
+        dh2 = jax.lax.dot_general(gg16, wh_ref[...], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dpre2 = dh2 * _dact_from_h(h2r, act_kind)
+        dpre2 = dh2 * _dact_from_h(h2g, act_kind)
         dpre2_16 = dpre2.astype(jnp.bfloat16)
-        dw2 += jax.lax.dot_general(h1r, dpre2_16, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        db2 += jnp.sum(dpre2, axis=0, keepdims=True)
-        dh1r = jax.lax.dot_general(
+        dw2_full += jax.lax.dot_general(h1g, dpre2_16,
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        db2_full += jnp.sum(dpre2, axis=0, keepdims=True)
+        dh1g = jax.lax.dot_general(
             dpre2_16, w2_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if lift:
             # chain through the lift activation here: emit dpre1 bf16 so the
             # conv weight-grad never sees an f32 cotangent (the XLA version
             # of this convert/reshape cost ~7 ms/step at EMPIAR scale)
-            dpre1 = dh1r * _dact_from_h(h1r, act_kind)
+            dpre1 = dh1g * _dact_from_h(h1g, act_kind)
             dbc_parts.append(jnp.sum(dpre1, axis=0, keepdims=True))
             dh1_parts.append(dpre1.astype(jnp.bfloat16))
         else:
-            dh1_parts.append(dh1r.astype(jnp.bfloat16))
+            dh1_parts.append(dh1g.astype(jnp.bfloat16))
     dh1_ref[0] = jnp.concatenate(dh1_parts, axis=-1)
+    # collapse the group axis: sum the diagonal K-blocks
+    dw2 = sum(dw2_full[i * K:(i + 1) * K, i * K:(i + 1) * K]
+              for i in range(G))
+    dwh = sum(dwh_full[i * K:(i + 1) * K, i * D:(i + 1) * D]
+              for i in range(G))
+    db2 = sum(db2_full[:, i * K:(i + 1) * K] for i in range(G))
+    dbh = sum(dbh_full[:, i * D:(i + 1) * D] for i in range(G))
     if lift:
         dbc = jnp.concatenate(dbc_parts, axis=-1)    # (1, R*K)
 
@@ -131,6 +154,25 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
 _TILE = 512   # rows per program: 3 bf16 + 2 f32 RK-wide tiles ~= 5 MB
 
 
+def _group_for(R: int, K: int, group: int = 0) -> int:
+    """Rotations per block-diagonal matmul group (kron(I_G, w2) trades
+    G-fold redundant FLOPs for R/G-fold fewer matmuls). Measured at EMPIAR
+    scale (R=8, K=128, N=312050, tools/bench_mix_heads.py): G=1 11.6 ms
+    fwd+bwd, G=2 11.7, G=4 13.2, G=8 18.6 — Mosaic pipelines the per-r
+    small matmuls well, so the redundant FLOPs never pay for themselves.
+    Default stays 1; the knob is kept for other (R, K) regimes."""
+    if group:
+        assert R % group == 0, (R, group)
+        return group
+    return 1
+
+
+def _block_diag(w, G: int):
+    """kron(I_G, w) as bf16: G copies of w on the diagonal."""
+    return jnp.kron(jnp.eye(G, dtype=jnp.float32),
+                    w.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def _tile_for(n_rows: int) -> int:
     """Largest divisor of n_rows in [256, 640], else the default 512.
     An exact division skips the pad/slice around every kernel call — the
@@ -152,8 +194,9 @@ def _pad_rows(x, T):
 
 
 def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
-         bc=None):
+         bc=None, group=0):
     lift = bc is not None
+    G = _group_for(R, K, group)
     T = _tile_for(h1.shape[0])
     h1p, n_rows = _pad_rows(h1, T)
     RK = h1.shape[1]
@@ -163,14 +206,14 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
     extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
     extra_args = [bc.reshape(1, RK).astype(jnp.float32)] if lift else []
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
+        functools.partial(_fwd_kernel, R=R, K=K, D=D, G=G, act_kind=act_kind,
                           save_res=save_res, lift=lift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((K, K), rep),
+            pl.BlockSpec((G * K, G * K), rep),
             pl.BlockSpec((1, K), rep),
-            pl.BlockSpec((K, D), rep),
+            pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, D), rep),
         ] + extra_in,
         out_specs=[pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0))]
@@ -182,17 +225,18 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(h1v, w2.astype(jnp.bfloat16), b2.reshape(1, K),
-      wh.astype(jnp.bfloat16), bh.reshape(1, D), *extra_args)
+    )(h1v, _block_diag(w2, G), b2.reshape(1, K),
+      _block_diag(wh, G), bh.reshape(1, D), *extra_args)
     out = outs[0].reshape(-1, R * D)[:n_rows]
     if save_res:
         return out, outs[1]
     return out
 
 
-def _bwd(res, g, *, R, K, D, act_kind, interpret):
+def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
     h1, h2v, w2, b2, wh, bh, bc = res
     lift = bc is not None
+    G = _group_for(R, K, group)
     n_rows, RK = h1.shape
     nt, T, _ = h2v.shape
     h1p, _ = _pad_rows(h1, T)
@@ -204,14 +248,14 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
     extra_out_shape = ([jax.ShapeDtypeStruct((1, RK), jnp.float32)]
                        if lift else [])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, R=R, K=K, D=D, act_kind=act_kind,
+        functools.partial(_bwd_kernel, R=R, K=K, D=D, G=G, act_kind=act_kind,
                           lift=lift),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((K, K), rep),
-            pl.BlockSpec((K, D), rep),
+            pl.BlockSpec((G * K, G * K), rep),
+            pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
         ] + extra_in,
         out_specs=tuple(
@@ -229,8 +273,8 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(h1p.reshape(nt, T, RK), h2v, w2.astype(jnp.bfloat16),
-      wh.astype(jnp.bfloat16), gp.reshape(nt, T, R * D), *extra_args)
+    )(h1p.reshape(nt, T, RK), h2v, _block_diag(w2, G),
+      _block_diag(wh, G), gp.reshape(nt, T, R * D), *extra_args)
     if lift:
         dh1, dw2, db2, dwh, dbh, dbc = outs
         return (dh1.reshape(-1, RK)[:n_rows], dw2, db2.reshape(K), dwh,
@@ -240,41 +284,44 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret):
             dbh.reshape(D))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh):
     return _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                interpret=interpret, save_res=False)
+                interpret=interpret, save_res=False, group=group)
 
 
-def _vjp_fwd(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh):
+def _vjp_fwd(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh):
     out, h2v = _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                    interpret=interpret, save_res=True)
+                    interpret=interpret, save_res=True, group=group)
     return out, (h1, h2v, w2, b2, wh, bh, None)
 
 
-def _vjp_bwd(R, K, D, act_kind, interpret, res, g):
+def _vjp_bwd(R, K, D, act_kind, interpret, group, res, g):
     return _bwd(res, g, R=R, K=K, D=D, act_kind=act_kind,
-                interpret=interpret)
+                interpret=interpret, group=group)
 
 
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _fused_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_lift(R, K, D, act_kind, interpret, group, pre1, bc, w2, b2, wh,
+                bh):
     return _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                interpret=interpret, save_res=False, bc=bc)
+                interpret=interpret, save_res=False, bc=bc, group=group)
 
 
-def _vjp_fwd_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh):
+def _vjp_fwd_lift(R, K, D, act_kind, interpret, group, pre1, bc, w2, b2, wh,
+                  bh):
     out, h2v = _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                    interpret=interpret, save_res=True, bc=bc)
+                    interpret=interpret, save_res=True, bc=bc, group=group)
     return out, (pre1, h2v, w2, b2, wh, bh, bc)
 
 
-def _vjp_bwd_lift(R, K, D, act_kind, interpret, res, g):
+def _vjp_bwd_lift(R, K, D, act_kind, interpret, group, res, g):
     dpre1, dw2, db2, dwh, dbh, dbc = _bwd(
-        res, g, R=R, K=K, D=D, act_kind=act_kind, interpret=interpret)
+        res, g, R=R, K=K, D=D, act_kind=act_kind, interpret=interpret,
+        group=group)
     return (dpre1, dbc, dw2, db2, dwh, dbh)
 
 
@@ -282,17 +329,19 @@ _fused_lift.defvjp(_vjp_fwd_lift, _vjp_bwd_lift)
 
 
 def fused_mix_heads(h1, w2, b2, wh, bh, *, R: int, K: int,
-                    act_kind: str = "leakyrelu", interpret: bool = False):
+                    act_kind: str = "leakyrelu", interpret: bool = False,
+                    group: int = 0):
     """h1: (N_positions, R*K) bf16 (any position order); w2/b2 mixing
     (K, K); wh/bh fused heads (K, D). Returns (N_positions, R*D) f32.
-    Differentiable in h1 and all weights."""
+    Differentiable in h1 and all weights. group: rotations per
+    block-diagonal matmul group (0 = auto, _group_for)."""
     D = wh.shape[1]
-    return _fused(R, K, D, act_kind, interpret, h1, w2, b2, wh, bh)
+    return _fused(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh)
 
 
 def fused_lift_act_mix_heads(pre1, bc, w2, b2, wh, bh, *, R: int, K: int,
                              act_kind: str = "leakyrelu",
-                             interpret: bool = False):
+                             interpret: bool = False, group: int = 0):
     """Like fused_mix_heads but takes the RAW lift-conv output pre1 (bf16,
     (N_positions, R*K), no bias/activation) plus the lift bias bc (R*K,):
     h1 = act(pre1 + bc) lives in-kernel, and the backward emits the bf16
@@ -301,4 +350,5 @@ def fused_lift_act_mix_heads(pre1, bc, w2, b2, wh, bh, *, R: int, K: int,
     back (~7 ms/step of convert/reshape at EMPIAR scale). Differentiable in
     pre1, bc and all weights."""
     D = wh.shape[1]
-    return _fused_lift(R, K, D, act_kind, interpret, pre1, bc, w2, b2, wh, bh)
+    return _fused_lift(R, K, D, act_kind, interpret, group, pre1, bc, w2, b2,
+                       wh, bh)
