@@ -219,10 +219,15 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     pre1 = jax.lax.conv_general_dilated(
         lhs, rhs, (1,), "VALID",
         dimension_numbers=("NCW", "OIW", "NWC"))         # bf16 (B*W', H', RK)
-    # mixing + heads are position-wise, so stay in the conv's j-major layout
-    # and transpose AFTER the heads: the head output (R*D channels) is ~18x
-    # smaller than h1 (R*K), which keeps ~2.5 GB of transposes off HBM
+    # mixing + heads are position-wise, so the ROW ORDER fed to them is
+    # arbitrary: read the conv output through an (H', B*W', RK) transpose
+    # view that matches the conv's NATIVE {2,0,1} layout — XLA then needs
+    # neither the {2,0,1}->{2,1,0} output copy nor the two 79-row-padded
+    # pre1/dpre1 reshapes it inserted for the row-major view (measured
+    # ~5.9 ms/step at EMPIAR scale via hlo_stats) — and reorder the R*D
+    # head output instead (~18x smaller than h1)
     D = 3 + 2 * cfg.z_dim
+    pre1_t = jnp.transpose(pre1, (1, 0, 2))              # (H', B*W', RK)
     if (allow_kernels and jax.default_backend() == "tpu"
             and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
         # fused Pallas lift-act + mixing + heads: the raw conv output goes in
@@ -231,19 +236,19 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
         # (kernels/mix_heads.py)
         from ..kernels.mix_heads import fused_lift_act_mix_heads
         out = fused_lift_act_mix_heads(
-            pre1.reshape(b * hp * hp, R * K), bc_vec,
+            pre1_t.reshape(b * hp * hp, R * K), bc_vec,
             params["conv2"]["w"], params["conv2"]["b"],
             wh, bh, R=R, K=K, act_kind=cfg.activation)
-        out = out.reshape(b, hp, hp, R, D)               # (B, W', H', R, D)
+        out = out.reshape(hp, b, hp, R, D)               # (H', B, W', R, D)
     else:
-        h1 = act(pre1.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
-        h1 = h1.reshape(b, hp, hp, R, K)                 # (B, W', H', R, K)
+        h1 = act(pre1_t.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
+        h1 = h1.reshape(hp, b, hp, R, K)                 # (H', B, W', R, K)
         pre2 = jnp.dot(h1, params["conv2"]["w"].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         h2 = act(pre2 + params["conv2"]["b"]).astype(jnp.bfloat16)
         out = jnp.dot(h2, wh.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32) + bh
-    out = jnp.transpose(out, (0, 2, 1, 3, 4))            # j-major -> i-major
+    out = jnp.transpose(out, (1, 0, 2, 3, 4))            # -> (B, H', W', ...)
     return _split_heads(out.reshape(b, hp * hp, R, -1), b, hp, R, cfg.z_dim)
 
 
