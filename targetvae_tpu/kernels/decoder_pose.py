@@ -104,16 +104,34 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         h = _act(pre, act_kind).astype(jnp.bfloat16)
         if save_res:
             hs_refs[l + 1][0, 0] = h
-    y = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
-    y_ref[0, 0] = y + b3_ref[...]
+    if len(y_ref.shape) == 3:
+        # n_out == 1 rides a lane-major (B, nt, tr*n) output: a trailing
+        # unit dim would be tiled (8, 128) -> 128x lane padding (155 MB
+        # physical for 48 MB of pixels at EMPIAR scale, +0.8 ms repack).
+        # The block covers all nt rows (pallas wants last-two block dims
+        # (8,128)-divisible or full) and stays VMEM-resident per image.
+        # The row is produced DIRECTLY as (1, px) by contracting w3 against
+        # h's H axis — a (px, 1) dot output would need a sublane<->lane
+        # relayout (69 near-empty (8,128) tiles at px=550, ~1 ms/step).
+        y_row = jax.lax.dot_general(
+            w3_ref[...], h, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (1, px)
+        t_idx = pl.program_id(1)
+        y_ref[0, pl.ds(t_idx, 1)] = y_row + b3_ref[...]
+    else:
+        y = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
+        y_ref[0, 0] = y + b3_ref[...]
 
 
 def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
                 bh_ref, w3_ref, g_ref, *rest_refs, n: int, tr: int,
-                hp_rows: int, L: int, act_kind: str):
+                hp_rows: int, L: int, act_kind: str, lane_major: bool):
     hs_refs = rest_refs[:L + 1]      # bf16 activations saved by the forward
+    rest_refs = rest_refs[L + 1:]
+    if lane_major:                   # n_out == 1 (see _specs): +identity
+        eye_ref, rest_refs = rest_refs[0], rest_refs[1:]
     (dfx_ref, dfy_ref, dfc_ref, dhz_ref, dw1_ref, db1_ref,
-     dwh_ref, dbh_ref, dw3_ref, db3_ref) = rest_refs[L + 1:]
+     dwh_ref, dbh_ref, dw3_ref, db3_ref) = rest_refs
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     F = u_ref.shape[-1]
@@ -129,7 +147,16 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
 
     hs16 = [hs_refs[i][0, 0] for i in range(L + 1)]
 
-    g = g_ref[0, 0]                                     # (tr*n, n_out)
+    if lane_major:
+        # (1, px) -> (px, 1) via an MXU identity contraction: a reshape
+        # here is a sublane<->lane relayout (69 near-empty (8,128) tiles
+        # at px=550, ~1 ms/step of VPU shuffles); the matmul is 0.3 MFLOP
+        g_row = g_ref[0, pl.ds(t_idx, 1)]               # (1, px)
+        g = jax.lax.dot_general(
+            eye_ref[...], g_row, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (px, 1)
+    else:
+        g = g_ref[0, 0]                                 # (tr*n, n_out)
     pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
     g = g * pix_ok
     g16 = g.astype(jnp.bfloat16)
@@ -261,7 +288,11 @@ def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
         "bh": pl.BlockSpec((L, 1, H), lambda b, t: (0, 0, 0)),
         "w3": pl.BlockSpec((H, n_out), lambda b, t: (0, 0)),
         "b3": pl.BlockSpec((1, n_out), lambda b, t: (0, 0)),
-        "y": pl.BlockSpec((1, 1, tr * n, n_out), lambda b, t: (b, t, 0, 0)),
+        # n_out == 1 drops the trailing unit dim (see _fwd_kernel): a
+        # (…, tr*n, 1) block would pad 1 lane to 128 in the HBM tiling
+        "y": (pl.BlockSpec((1, nt, tr * n), lambda b, t: (b, 0, 0))
+              if n_out == 1 else
+              pl.BlockSpec((1, 1, tr * n, n_out), lambda b, t: (b, t, 0, 0))),
     }
 
 
@@ -283,12 +314,13 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
     wh, bh = _stack_hidden(w2, b2)
     h_spec = pl.BlockSpec((1, 1, tr * n, H), lambda b, t: (b, t, 0, 0))
     h_shape = jax.ShapeDtypeStruct((B, nt, tr * n, H), jnp.bfloat16)
+    y_shape = (jax.ShapeDtypeStruct((B, nt, tr * n), jnp.float32)
+               if n_out == 1 else
+               jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32))
     out_specs = sp["y"] if not save_res else (
         (sp["y"],) + (h_spec,) * (L + 1))
-    out_shape = (jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32)
-                 if not save_res else
-                 (jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32),)
-                 + (h_shape,) * (L + 1))
+    out_shape = (y_shape if not save_res else
+                 (y_shape,) + (h_shape,) * (L + 1))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, n=n, tr=tr, L=L, act_kind=act_kind,
                           save_res=save_res),
@@ -298,7 +330,10 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            # n_out==1: the y block is revisited across t (rows written one
+            # tile at a time into the per-image resident block)
+            dimension_semantics=("parallel",
+                                 "arbitrary" if n_out == 1 else "parallel")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
       wh, bh, w3.astype(jnp.bfloat16), b3.reshape(1, n_out))
@@ -328,13 +363,19 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
         jax.ShapeDtypeStruct((H, n_out), jnp.float32),
         jax.ShapeDtypeStruct((1, n_out), jnp.float32),
     )
+    lane_major = n_out == 1
+    eye_in, eye_args = [], []
+    if lane_major:
+        px = tr * n
+        eye_in = [pl.BlockSpec((px, px), lambda b, t: (0, 0))]
+        eye_args = [jnp.eye(px, dtype=jnp.float32)]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n=n, tr=tr, hp_rows=n, L=L,
-                          act_kind=act_kind),
+                          act_kind=act_kind, lane_major=lane_major),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
                   sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["y"]]
-                 + [h_spec] * (L + 1),
+                 + [h_spec] * (L + 1) + eye_in,
         out_specs=(freq_spec, freq_spec, freq_spec,
                    pl.BlockSpec((8, H), lambda b, t: (b // 8, 0)),
                    sp["w1"], sp["b1"], sp["wh"], sp["bh"], sp["w3"],
@@ -344,7 +385,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
-      wh, bh, w3.astype(jnp.bfloat16), g, *hs)
+      wh, bh, w3.astype(jnp.bfloat16), g, *hs, *eye_args)
 
     dfx, dfy, dfc, dhz, dw1, db1, dwh, dbh, dw3, db3 = outs
     dw2 = tuple(dwh[l] for l in range(L))
@@ -463,5 +504,7 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
                tuple(h["w"] for h in params["hidden"]),
                tuple(h["b"] for h in params["hidden"]),
                params["out"]["w"], params["out"]["b"])
+    if y.ndim == 3:                 # n_out == 1 lane-major layout (_specs)
+        return y.reshape(B, rows_padded * n)[:, :n * n, None]
     n_out = y.shape[-1]
     return y.reshape(B, rows_padded * n, n_out)[:, :n * n, :]

@@ -177,12 +177,21 @@ def _tile_for(n_rows: int) -> int:
     """Largest divisor of n_rows in [256, 640], else the default 512.
     An exact division skips the pad/slice around every kernel call — the
     pad+slice of the (N, R*K) tiles measured ~4 ms/step at EMPIAR scale
-    (N = B*hp^2 = 312050 = 790 x 395; dsprites 211250 = 338 x 625)."""
-    best = 0
+    (N = B*hp^2 = 312050 = 790 x 395; dsprites 211250 = 338 x 625).
+
+    8-aligned divisors are preferred: Mosaic's bf16 HBM tiling is (8, 128)
+    over the last two dims, so the (N, RK) <-> (nt, T, RK) blocked views
+    are bitcasts only when T % 8 == 0 — a misaligned T makes XLA re-tile
+    h1 on the way in AND dpre1 on the way out (2 x 2 ms at EMPIAR scale).
+    Callers that control N can pad it to admit an aligned tile (the lift
+    conv pads its batch dim: models/encoders.py::_lift_batch_pad)."""
+    best = best_aligned = 0
     for t in range(256, 641):
         if n_rows % t == 0:
             best = t
-    return best or _TILE
+            if t % 8 == 0:
+                best_aligned = t
+    return best_aligned or best or _TILE
 
 
 def _pad_rows(x, T):

@@ -186,6 +186,21 @@ def _mode_c_kernel(params: dict, cfg: EncoderConfig, y: jnp.ndarray):
     return _split_heads(out[:, :hp * hp, :], b, hp, R, cfg.z_dim)
 
 
+def _lift_batch_pad(hp: int, cols: int) -> int:
+    """Zero batch rows to append to the 1-D lift conv so N = hp*(cols+p)
+    admits an 8-aligned tile divisor in [256, 640] (kernels/mix_heads.py::
+    _tile_for): Mosaic's (8, 128) HBM tiling makes the kernel's blocked view
+    a bitcast only for 8-aligned tiles; a misaligned tile re-tiles the
+    1.1 GB h1 AND dpre1 (2 x 2 ms/step at EMPIAR scale, hlo_stats). EMPIAR:
+    cols 3950 -> 3952, N = 312208 = 494 x 632; dsprites: 3250 -> 3256,
+    N = 211640 = 407 x 520; galaxy (N = 51200 = 100 x 512) needs none."""
+    for p in range(64):
+        n = hp * (cols + p)
+        if any(n % t == 0 for t in range(256, 641) if t % 8 == 0):
+            return p
+    return 0
+
+
 def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                        allow_kernels: bool = True):
     """Mode-C forward for kernel sizes whose fused-kernel working set exceeds
@@ -205,6 +220,9 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     act = _act(cfg.activation)
     wc, bc_vec, wh, bh = _mode_c_matrices(params, cfg)
 
+    use_kernel = (allow_kernels and jax.default_backend() == "tpu"
+                  and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
+
     xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     n2 = xp.shape[1]
     # q[b, i, j, c, dj] = xp[b, i, j+dj, c]
@@ -212,33 +230,38 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                   axis=-1).astype(jnp.bfloat16)          # (B, n2, W', C, k)
     lhs = jnp.transpose(q, (0, 2, 3, 4, 1)).reshape(b * hp, C * k, n2)
     lhs = jax.lax.stop_gradient(lhs)                     # images are data
+    cols = b * hp
+    padc = _lift_batch_pad(hp, cols) if use_kernel else 0
+    if padc:
+        lhs = jnp.pad(lhs, ((0, padc), (0, 0), (0, 0)))
     # wc rows are (c*k*k + di*k + dj); conv wants (RK, (c,dj), di)
     rhs = jnp.transpose(
         wc.astype(jnp.bfloat16).reshape(C, k, k, R * K),
         (3, 0, 2, 1)).reshape(R * K, C * k, k)
-    pre1 = jax.lax.conv_general_dilated(
-        lhs, rhs, (1,), "VALID",
-        dimension_numbers=("NCW", "OIW", "NWC"))         # bf16 (B*W', H', RK)
     # mixing + heads are position-wise, so the ROW ORDER fed to them is
-    # arbitrary: read the conv output through an (H', B*W', RK) transpose
-    # view that matches the conv's NATIVE {2,0,1} layout — XLA then needs
-    # neither the {2,0,1}->{2,1,0} output copy nor the two 79-row-padded
-    # pre1/dpre1 reshapes it inserted for the row-major view (measured
-    # ~5.9 ms/step at EMPIAR scale via hlo_stats) — and reorder the R*D
-    # head output instead (~18x smaller than h1)
+    # arbitrary: ask the conv for output order WNC = (H', B*W', RK), which
+    # matches its NATIVE layout ({2,0,1} over the NWC view) — the row-major
+    # 2-D view below is then a bitcast, where the row-major NWC view cost a
+    # 1.1 GB relayout copy on pre1 AND on dpre1 plus two 79-row-padded
+    # reshapes (~5.9 ms/step at EMPIAR scale via hlo_stats) — and reorder
+    # only the R*D head output (~18x smaller than h1)
+    pre1_t = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID",
+        dimension_numbers=("NCW", "OIW", "WNC"))         # bf16 (H', cols+p, RK)
     D = 3 + 2 * cfg.z_dim
-    pre1_t = jnp.transpose(pre1, (1, 0, 2))              # (H', B*W', RK)
-    if (allow_kernels and jax.default_backend() == "tpu"
-            and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
+    if use_kernel:
         # fused Pallas lift-act + mixing + heads: the raw conv output goes in
         # bf16, h1 = act(pre1 + bc) lives in-kernel, h2 is a bf16 residual,
         # and the backward emits the bf16 conv cotangent dpre1 directly
         # (kernels/mix_heads.py)
         from ..kernels.mix_heads import fused_lift_act_mix_heads
         out = fused_lift_act_mix_heads(
-            pre1_t.reshape(b * hp * hp, R * K), bc_vec,
+            pre1_t.reshape(hp * (cols + padc), R * K), bc_vec,
             params["conv2"]["w"], params["conv2"]["b"],
             wh, bh, R=R, K=K, act_kind=cfg.activation)
+        out = out.reshape(hp, cols + padc, R, D)
+        if padc:
+            out = out[:, :cols]                          # drop pad batch rows
         out = out.reshape(hp, b, hp, R, D)               # (H', B, W', R, D)
     else:
         h1 = act(pre1_t.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
