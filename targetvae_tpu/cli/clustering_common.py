@@ -20,7 +20,18 @@ from ..train.checkpoint import load_checkpoint
 
 
 def load_encoder(path_to_encoder: str) -> Tuple[TargetVAE, dict]:
-    """Load an inference.sav checkpoint -> (model, params)."""
+    """Load an inference.sav checkpoint -> (model, params).
+
+    Accepts both this framework's msgpack checkpoints and the reference's
+    pickled-torch-module .sav files (utils/torch_import.py), so models
+    trained with the PyTorch reference cluster here unchanged."""
+    from ..utils.torch_import import is_torch_checkpoint, model_from_savs
+
+    if is_torch_checkpoint(path_to_encoder):
+        print(f"# {path_to_encoder}: reference torch checkpoint, importing",
+              file=sys.stderr)
+        cfg, params = model_from_savs(path_to_encoder)
+        return TargetVAE(cfg), params
     params, cfg, _ = load_checkpoint(path_to_encoder)
     return TargetVAE(cfg), params
 
