@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n-clusters", default=10, type=int)
     parser.add_argument("--normalize", action="store_true")
     parser.add_argument("--crop", default=0, type=int)
+    parser.add_argument("--downsample", default=0, type=int,
+                        help="Fourier-crop (bin) particles to this size, "
+                             "matching a --downsample training run "
+                             "(default: 0 = off)")
     parser.add_argument("--in-channels", type=int, default=1)
     parser.add_argument("--activation", choices=["tanh", "leakyrelu"],
                         default="leakyrelu")
@@ -49,6 +53,10 @@ def main(argv=None):
     select_device(args.device)
 
     images = load_particles(args.test_path)
+    if args.downsample and args.downsample < images.shape[-1]:
+        from ..data.image import downsample
+        images = downsample(images, shape=(args.downsample,
+                                           args.downsample)).astype(np.float32)
     images = preprocess_particles(images, args.crop, args.normalize)
     images = images[..., None]
 

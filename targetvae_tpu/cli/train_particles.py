@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "reconstructed images (default:0)")
     parser.add_argument("--crop", default=0, type=int,
                         help="size of the cropped images (default:0)")
+    parser.add_argument("--downsample", default=0, type=int,
+                        help="Fourier-crop (bin) particles to this size "
+                             "before training; the CTF pixel size is "
+                             "rescaled automatically (default: 0 = off)")
     add_model_args(parser, kernel_size=64, padding=16)
     add_train_args(parser)
     return parser
@@ -60,6 +64,15 @@ def _ctf_kernels(path, n: int, m: int, scale: float) -> np.ndarray:
     return ctf_mod.ctf_filter(params, ctf_n, ctf_m, scale=scale)
 
 
+def _maybe_downsample(images: np.ndarray, size: int) -> np.ndarray:
+    """Fourier-crop binning to size x size (data/image.py::downsample)."""
+    if not size or size >= images.shape[-1]:
+        return images
+    from ..data.image import downsample
+    return np.ascontiguousarray(
+        downsample(images, shape=(size, size)).astype(np.float32))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     select_device(args.device)
@@ -68,19 +81,27 @@ def main(argv=None):
     if args.train_path and args.test_path:
         images_train = load_particles(args.train_path)
         images_test = load_particles(args.test_path)
+        orig_n = images_train.shape[-1]
+        images_train = _maybe_downsample(images_train, args.downsample)
+        images_test = _maybe_downsample(images_test, args.downsample)
         n, m = images_train.shape[1:]
+        # binning multiplies the pixel size: apix_new = apix * orig/new
+        ctf_scale = args.scale * (orig_n / n)
         if args.ctf_train and args.ctf_test:
             print(f"# loading CTF filters: {args.ctf_train}", file=sys.stderr)
-            ctf_train = _ctf_kernels(args.ctf_train, n, m, args.scale)
-            ctf_test = _ctf_kernels(args.ctf_test, n, m, args.scale)
+            ctf_train = _ctf_kernels(args.ctf_train, n, m, ctf_scale)
+            ctf_test = _ctf_kernels(args.ctf_test, n, m, ctf_scale)
     elif args.train_path:
         images = load_particles(args.train_path)
+        orig_n = images.shape[-1]
+        images = _maybe_downsample(images, args.downsample)
         n, m = images.shape[1:]
+        ctf_scale = args.scale * (orig_n / n)
         images_train, images_test = train_test_split(images,
                                                      args.train_portion)
         if args.ctf_train:
             print(f"# loading CTF filters: {args.ctf_train}", file=sys.stderr)
-            kernels = _ctf_kernels(args.ctf_train, n, m, args.scale)
+            kernels = _ctf_kernels(args.ctf_train, n, m, ctf_scale)
             ctf_train = kernels[:len(images_train)]
             ctf_test = kernels[len(images_train):]
     else:

@@ -240,3 +240,39 @@ def test_train_cli_host_stream(tmp_path):
             if "\ttrain\t" in line:
                 vals = [float(v) for v in line.split("\t")[2:]]
                 assert all(np.isfinite(vals)), line
+
+
+def test_train_particles_downsample(tmp_path):
+    """--downsample bins the stack (Fourier crop) before training and scales
+    the CTF pixel size; the run dir reflects the binned image size and the
+    clustering CLI reproduces the binning for evaluation."""
+    d, d_small = 20, 14
+    stack = np.random.RandomState(2).randn(40, d, d).astype(np.float32)
+    mrc.write(str(tmp_path / "stack.mrcs"), stack)
+    ctf_rows = ["1.5 2.7 300 1.2 100 10 0 0"] * 40
+    (tmp_path / "ctf.txt").write_text("\n".join(ctf_rows))
+
+    log_root = str(tmp_path / "logs")
+    train_particles.main(["--train-path", str(tmp_path / "stack.mrcs"),
+                          "--ctf-train", str(tmp_path / "ctf.txt"),
+                          "--downsample", str(d_small),
+                          "--train-portion", "0.75",
+                          "--log-root", log_root] + COMMON)
+    runs = os.listdir(log_root)
+    run = os.path.join(log_root, runs[0])
+    log = open(os.path.join(run, "train_log.txt")).read()
+    assert f"{d_small}x{d_small}" in log or "\ttrain\t" in log
+    metric_lines = [l for l in log.splitlines()
+                    if "\ttrain\t" in l or "\ttest\t" in l]
+    assert metric_lines and all("nan" not in l for l in metric_lines)
+    # checkpoint config carries the binned image size
+    from targetvae_tpu.train.checkpoint import load_checkpoint
+    _, cfg, _ = load_checkpoint(os.path.join(run, "inference.sav"))
+    assert cfg.encoder.image_dim == d_small
+
+    clustering_particles.main([
+        "--test-path", str(tmp_path / "stack.mrcs"),
+        "--downsample", str(d_small),
+        "--path-to-encoder", os.path.join(run, "inference.sav"),
+        "--n-clusters", "3", "-d", "-1"])
+    assert os.path.exists(os.path.join(run, "cluster_assignments.npy"))
