@@ -165,3 +165,31 @@ def test_is_torch_checkpoint_discriminates(tmp_path):
     ours = tmp_path / "ours.sav"
     save_checkpoint(str(ours), {"x": np.zeros(2)}, ModelConfig())
     assert not is_torch_checkpoint(str(ours))
+
+
+def test_reconstruct_tool_on_reference_savs(tmp_path):
+    """tools/reconstruct.py renders reconstructions straight from a pair of
+    reference-saved pickled modules (mixed-format loading path)."""
+    import sys
+
+    ref = import_reference_models()
+    torch.manual_seed(6)
+    enc = ref.InferenceNetwork_AttentionTranslation_AttentionRotation(
+        12, 1, 2, kernels_num=16, kernels_size=7, padding=3, groupconv=4,
+        rot_refinement=True, theta_prior=np.pi)
+    gen = ref.SpatialGenerator(2, 16, num_layers=2, fourier_expansion=True,
+                               sigma=2.0 / 11)
+    torch.save(enc.eval(), tmp_path / "inference.sav")
+    torch.save(gen.eval(), tmp_path / "generator.sav")
+    np.save(tmp_path / "imgs.npy",
+            np.random.default_rng(0).uniform(
+                size=(4, 12, 12)).astype(np.float32))
+
+    sys.path.insert(0, "/root/repo")
+    from tools.reconstruct import main as reconstruct_main
+    out = tmp_path / "recon.png"
+    reconstruct_main(["--path-to-encoder", str(tmp_path / "inference.sav"),
+                      "--path-to-generator", str(tmp_path / "generator.sav"),
+                      "--images", str(tmp_path / "imgs.npy"),
+                      "--n", "4", "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0

@@ -43,10 +43,20 @@ def main(argv=None):
     from targetvae_tpu.ops.coords import image_grid, transform_coords
     from targetvae_tpu.train.checkpoint import load_checkpoint
 
-    model, enc_params = load_encoder(args.path_to_encoder)
-    gen_params, _, _ = load_checkpoint(args.path_to_generator)
-    params = {"encoder": enc_params["encoder"],
-              "generator": gen_params["generator"]}
+    model, enc_params = load_encoder(args.path_to_encoder)  # either format
+    from targetvae_tpu.utils.torch_import import (generator_from_sav,
+                                                  is_torch_checkpoint)
+    if is_torch_checkpoint(args.path_to_generator):
+        # reference pickled generator.sav: import and adopt its config
+        import dataclasses
+
+        from targetvae_tpu.models import TargetVAE
+        gen_cfg, gparams = generator_from_sav(args.path_to_generator)
+        model = TargetVAE(dataclasses.replace(model.cfg, generator=gen_cfg))
+    else:
+        gen_params, _, _ = load_checkpoint(args.path_to_generator)
+        gparams = gen_params["generator"]
+    params = {"encoder": enc_params["encoder"], "generator": gparams}
     cfg = model.cfg
 
     if args.images.endswith((".mrc", ".mrcs")):
