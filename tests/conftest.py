@@ -13,6 +13,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls for golden-value parity against torch CPU
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite is dominated by XLA:CPU compiles of
+# the epoch scans / sharded steps, which are identical across runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import pytest  # noqa: E402
 
