@@ -137,3 +137,41 @@ def test_data_parallel_epoch():
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
     state, (elbo, gen_loss, kl) = trainer.train_epoch(state, data)
     assert np.isfinite(elbo)
+
+
+def test_sp_particles_ctf_step_matches_single_device():
+    """--sp composed with the cryo-EM likelihood (gaussian + per-particle
+    CTF + circular mask) — the configuration the grid-sharded posterior
+    exists for. The sharded step must match the unsharded step."""
+    import pandas as pd
+
+    from targetvae_tpu.data.ctf import CTF_COLUMNS, ctf_filter
+
+    d = 16
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=1,
+                        fourier_expansion=False),
+        EncoderConfig(image_dim=d, z_dim=2, kernels_num=8, kernels_size=9,
+                      padding=4, groupconv=8),
+        LikelihoodConfig(kind="gaussian", use_ctf=True, mask_radius=5)))
+
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(4, d, d, 1).astype(np.float32))
+    cp = pd.DataFrame([[1.5, 2.7, 300, 1.2, 100, 10, 0.2, 30]] * 4,
+                      columns=CTF_COLUMNS)
+    ctf = jnp.asarray(ctf_filter(cp, d - 1, d - 1))
+
+    plain = Trainer(model, TrainConfig(learning_rate=1e-3))
+    _, m_single = plain._train_step(plain.init_state(0), y, ctf=ctf)
+
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2, tp=4,
+                                       sp=True))
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    sp_tr.attach_mesh(mesh)
+    s1 = shard_state(mesh, sp_tr.init_state(0))
+    ys, ctfs = shard_batch(mesh, y, ctf)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys, ctfs)
+
+    assert np.isfinite(np.asarray(m_sp)).all()
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_sp),
+                               rtol=2e-4, atol=1e-3)
