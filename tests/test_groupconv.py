@@ -89,3 +89,23 @@ def test_matches_reference_groupconv_rgb():
         R=R, padding=3)
     mine = np.transpose(np.asarray(mine), (0, 4, 3, 1, 2))
     np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("R", [8, 16])
+def test_rotation_equivariance_higher_groups(R):
+    """For P8/P16 the 90-degree rotation is the R/4-th group element, so it
+    acts EXACTLY on the pixel grid: f(rot90 x)[r] = rot90(f(x)[r + R/4])."""
+    rng = np.random.RandomState(1)
+    n, k = 12, 5
+    x = rng.randn(1, n, n, 1).astype(np.float32)
+    w = rng.randn(3, 1, 1, k, k).astype(np.float32)
+
+    y = np.asarray(lifted_conv2d(jnp.asarray(x), jnp.asarray(w), None, R=R,
+                                 padding=k // 2))
+    x_rot = np.rot90(x[0, :, :, 0], k=1)[None, :, :, None].copy()
+    y_rot = np.asarray(lifted_conv2d(jnp.asarray(x_rot), jnp.asarray(w), None,
+                                     R=R, padding=k // 2))
+    s = R // 4
+    for r in range(R):
+        expect = np.rot90(y[0, :, :, (r + s) % R, :], k=1, axes=(0, 1))
+        np.testing.assert_allclose(y_rot[0, :, :, r, :], expect, atol=1e-3)
