@@ -13,6 +13,7 @@ Metrics reproduce the reference's streaming-mean accumulators
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -47,12 +48,26 @@ class Trainer:
         self._mesh = None
         self._x_coord = model.base_grid()
 
+        # Raise the per-fusion scoped-VMEM budget on TPU: under the default
+        # limit the big-k lift conv's emitter fails its preferred window
+        # config and retries with 6.6x-worse blocking (dsprites fwd conv
+        # 16.6 ms at 1.1 MB scoped vs 13.9M est. cycles at 10 MB; see
+        # tools/bench_lift_chain.py and BENCH_NOTES.md). Harmless for the
+        # small-k (fused Pallas lift) configs; measured on every config.
+        # TARGETVAE_SCOPED_VMEM_KIB overrides (0 disables — escape hatch if
+        # a config ever VMEM-OOMs under the raised budget).
+        kib = os.environ.get("TARGETVAE_SCOPED_VMEM_KIB", "65536")
+        copts = ({"xla_tpu_scoped_vmem_limit_kib": kib}
+                 if jax.default_backend() == "tpu" and kib != "0" else None)
         self._train_scan = jax.jit(self._epoch_scan_impl, donate_argnums=0,
-                                   static_argnames=("n_batches", "batch"))
-        self._train_step = jax.jit(self._step_impl, donate_argnums=0)
+                                   static_argnames=("n_batches", "batch"),
+                                   compiler_options=copts)
+        self._train_step = jax.jit(self._step_impl, donate_argnums=0,
+                                   compiler_options=copts)
         self._eval_scan = jax.jit(self._eval_scan_impl,
-                                  static_argnames=("n_batches", "batch"))
-        self._eval_step = jax.jit(self._eval_impl)
+                                  static_argnames=("n_batches", "batch"),
+                                  compiler_options=copts)
+        self._eval_step = jax.jit(self._eval_impl, compiler_options=copts)
 
     # -- construction ------------------------------------------------------
     def init_state(self, seed: int = 0) -> TrainState:
@@ -69,7 +84,6 @@ class Trainer:
         self._mesh = mesh
 
     def _kernels_would_engage(self) -> bool:
-        import os
         return (self.compute_dtype == jnp.bfloat16
                 and jax.default_backend() == "tpu"
                 and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
