@@ -31,6 +31,24 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
+def check_device_reachable(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the TPU tunnel is down:
+    backend init blocks indefinitely inside jax.devices(), so probe it in a
+    killable subprocess first."""
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device enumeration hung for {timeout_s}s — TPU tunnel down?")
+    if probe.returncode != 0:
+        raise RuntimeError(
+            "device backend failed to initialize:\n"
+            + probe.stderr.decode(errors="replace")[-1000:])
+
+
 def measure_tpu(batch: int = 100, steps: int = 30,
                 compute_dtype=None) -> float:
     from targetvae_tpu.models import TargetVAE
@@ -63,6 +81,7 @@ def load_baseline() -> float:
 
 
 def main():
+    check_device_reachable()
     results = {}
     results["f32"] = measure_tpu(compute_dtype=None)
     try:
