@@ -192,3 +192,53 @@ def test_posterior_normalization():
     # KL must be >= 0
     e, lp, kl = m.elbo(p, m.base_grid(), y, jax.random.key(3))
     assert float(kl) >= 0.0
+
+
+@requires_reference
+def test_training_dynamics_parity(deterministic_noise):
+    """Optimizer-in-the-loop parity: starting from copied weights and feeding
+    identical batches (noise zeroed on both sides), six Adam steps here and
+    six torch.optim.Adam steps on the reference (train_mnist.py:320-324)
+    must trace the same per-step ELBO trajectory. Pins gradient + update
+    equivalence end to end, not just the forward loss."""
+    torch = pytest.importorskip("torch")
+    ref_train = import_reference_module("train_mnist")
+    from targetvae_tpu.train.state import make_optimizer
+
+    d = 14
+    gen_t, enc_t, cfg, params, t_inf, r_inf_ = _build_pair("C", d=d)
+
+    rng = np.random.RandomState(5)
+    batches = [(rng.rand(5, d, d, 1) > 0.5).astype(np.float32)
+               for _ in range(6)]
+    lr = 1e-3
+
+    x_t = torch.from_numpy(image_grid(d).copy())
+    opt_t = torch.optim.Adam(list(gen_t.parameters())
+                             + list(enc_t.parameters()), lr=lr)
+    ref_elbos = []
+    for y in batches:
+        y_t = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)).copy())
+        elbo, _, _ = ref_train.eval_minibatch(
+            x_t, y_t, gen_t, enc_t, t_inf, r_inf_, 0, torch.device("cpu"),
+            cfg.encoder.theta_prior, cfg.encoder.groupconv, d)
+        opt_t.zero_grad()
+        (-elbo).backward()
+        opt_t.step()
+        ref_elbos.append(float(elbo))
+
+    opt = make_optimizer(lr)
+    opt_state = opt.init(params)
+    x_j = jnp.asarray(image_grid(d))
+    our_elbos = []
+    for y in batches:
+        def loss_fn(p):
+            elbo, _, _ = compute_elbo(p, cfg, x_j, jnp.asarray(y),
+                                      jax.random.key(0))
+            return -elbo
+        neg, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, b: a + b, params, updates)
+        our_elbos.append(-float(neg))
+
+    np.testing.assert_allclose(our_elbos, ref_elbos, rtol=5e-4, atol=5e-3)
