@@ -242,3 +242,64 @@ def test_training_dynamics_parity(deterministic_noise):
         our_elbos.append(-float(neg))
 
     np.testing.assert_allclose(our_elbos, ref_elbos, rtol=5e-4, atol=5e-3)
+
+
+@requires_reference
+def test_training_dynamics_parity_particles(deterministic_noise):
+    """Same optimizer-in-the-loop trajectory check for the cryo-EM path:
+    gaussian likelihood + per-particle CTF conv + circular mask. Pins that
+    the mask cuts gradients exactly where the reference's host round-trip
+    does (train_particles.py:318-323 — our mask is device-side but
+    stop_gradient'ed, losses/likelihoods.py:107)."""
+    torch = pytest.importorskip("torch")
+    ref_train = import_reference_module("train_particles")
+    import pandas as pd
+    from targetvae_tpu.data.ctf import CTF_COLUMNS, ctf_filter
+    from targetvae_tpu.train.state import make_optimizer
+
+    d = 14
+    mask_radius = 4
+    gen_t, enc_t, cfg, params, t_inf, r_inf_ = _build_pair("C", d=d)
+    cfg = ModelConfig(cfg.generator, cfg.encoder,
+                      LikelihoodConfig(kind="gaussian",
+                                       mask_radius=mask_radius, use_ctf=True))
+
+    rng = np.random.RandomState(6)
+    batches = [rng.randn(5, d, d, 1).astype(np.float32) for _ in range(4)]
+    cp = pd.DataFrame([[1.5, 2.7, 300, 1.2, 100, 10, 0.3, 20]] * 5,
+                      columns=CTF_COLUMNS)
+    kern = ctf_filter(cp, d - 1, d - 1)
+    ctf_t = torch.from_numpy(kern[:, None]).float()
+    ctf_j = jnp.asarray(kern)
+    lr = 1e-3
+
+    x_t = torch.from_numpy(image_grid(d).copy())
+    opt_t = torch.optim.Adam(list(gen_t.parameters())
+                             + list(enc_t.parameters()), lr=lr)
+    ref_elbos = []
+    for y in batches:
+        y_t = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)).copy())
+        elbo, _, _ = ref_train.eval_minibatch(
+            x_t, y_t, ctf_t, gen_t, enc_t, t_inf, r_inf_, 0,
+            torch.device("cpu"), cfg.encoder.theta_prior,
+            cfg.encoder.groupconv, cfg.encoder.padding, mask_radius)
+        opt_t.zero_grad()
+        (-elbo).backward()
+        opt_t.step()
+        ref_elbos.append(float(elbo))
+
+    opt = make_optimizer(lr)
+    opt_state = opt.init(params)
+    x_j = jnp.asarray(image_grid(d))
+    our_elbos = []
+    for y in batches:
+        def loss_fn(p):
+            elbo, _, _ = compute_elbo(p, cfg, x_j, jnp.asarray(y),
+                                      jax.random.key(0), ctf=ctf_j)
+            return -elbo
+        neg, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, b: a + b, params, updates)
+        our_elbos.append(-float(neg))
+
+    np.testing.assert_allclose(our_elbos, ref_elbos, rtol=5e-4, atol=1e-2)
