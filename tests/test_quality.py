@@ -1,0 +1,74 @@
+"""End-to-end quality regression: unsupervised clustering on synthetic data.
+
+A CPU-budget version of the QUALITY.md protocol (itself modeled on the
+reference's clustering evaluation, clustering_mnist.py:356-366): train the
+full mode-C model on rotation-DISTINCT shape classes (disk / hollow frame /
+plus sign — rotated copies of one class never look like another, unlike
+bars, which the rotation-invariant content latent must merge), then the
+clustering handoff (model.embed -> KMeans -> Hungarian accuracy) must
+recover the classes. Guards the whole train->embed->cluster chain against
+silent quality regressions, not just numerics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from targetvae_tpu.cli.clustering_common import cluster_acc
+from targetvae_tpu.models import TargetVAE
+from targetvae_tpu.train import Trainer
+from targetvae_tpu.utils.config import (EncoderConfig, GeneratorConfig,
+                                        LikelihoodConfig, ModelConfig,
+                                        TrainConfig)
+
+D = 16
+
+
+def _make(rng, n):
+    xs, ys = [], []
+    yy, xx = np.mgrid[:D, :D]
+    for i in range(n):
+        c = i % 3
+        img = np.zeros((D, D), np.float32)
+        cy, cx = rng.randint(6, D - 6, 2)
+        if c == 0:                      # disk
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 9] = 1.0
+        elif c == 1:                    # hollow frame
+            img[cy - 4:cy + 4, cx - 4:cx + 4] = 1.0
+            img[cy - 2:cy + 2, cx - 2:cx + 2] = 0.0
+        else:                           # plus sign
+            img[cy - 4:cy + 4, cx - 1:cx + 1] = 1.0
+            img[cy - 1:cy + 1, cx - 4:cx + 4] = 1.0
+        img = np.rot90(img, rng.randint(0, 4)).copy()
+        xs.append(img)
+        ys.append(c)
+    return np.stack(xs)[..., None], np.array(ys)
+
+
+def test_unsupervised_clustering_recovers_classes():
+    from sklearn.cluster import KMeans
+
+    rng = np.random.RandomState(0)
+    train_x, _ = _make(rng, 120)
+    test_x, test_y = _make(rng, 90)
+
+    cfg = ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=64, num_layers=2,
+                        fourier_expansion=True, fourier_sigma=2.0 / (D - 1)),
+        EncoderConfig(image_dim=D, z_dim=2, kernels_num=32, kernels_size=9,
+                      padding=4, groupconv=4),
+        LikelihoodConfig())
+    model = TargetVAE(cfg)
+    trainer = Trainer(model, TrainConfig(learning_rate=2e-3,
+                                         minibatch_size=30))
+    state = trainer.init_state(0)
+    data = jnp.asarray(train_x)
+    first = None
+    for _ in range(20):
+        state, (elbo, _, _) = trainer.train_epoch(state, data)
+        first = elbo if first is None else first
+    assert elbo > first + 10, (first, elbo)   # training actually learned
+
+    z = np.asarray(model.embed(state.params, jnp.asarray(test_x))["z_content"])
+    pred = KMeans(3, n_init=20, random_state=0).fit_predict(z)
+    _, acc = cluster_acc(test_y, pred)
+    assert acc >= 0.95, acc
