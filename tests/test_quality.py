@@ -72,3 +72,52 @@ def test_unsupervised_clustering_recovers_classes():
     pred = KMeans(3, n_init=20, random_state=0).fit_predict(z)
     _, acc = cluster_acc(test_y, pred)
     assert acc >= 0.95, acc
+
+
+def test_rotation_disentanglement_pose_correlation():
+    """Pose-quality guard: train on continuously rotated copies of one
+    strongly asymmetric shape; the predicted per-image theta must track the
+    true rotation angle (|Fisher-Lee circular correlation| >= 0.9 — the
+    metric of the reference's measure_correlations,
+    clustering_mnist.py:194-213; the SIGN depends only on the generator's
+    angle convention vs scipy's, so the magnitude is asserted)."""
+    from scipy.ndimage import rotate as ndrotate
+
+    from targetvae_tpu.cli.clustering_common import circular_corrcoef
+
+    rng = np.random.RandomState(1)
+    yy, xx = np.mgrid[:D, :D]
+    base = np.zeros((D, D), np.float32)
+    base[(yy - 8) ** 2 + (xx - 8) ** 2 <= 6] = 1.0   # disk...
+    base[7:10, 8:15] = 1.0                           # ...plus bar: lollipop
+
+    def make(n):
+        xs, angs = [], []
+        for _ in range(n):
+            a = 45.0 * rng.randint(0, 8)   # the P8 group angles
+            img = ndrotate(base, a, reshape=False, order=1, mode="constant")
+            xs.append(np.clip(img, 0, 1))
+            angs.append(np.deg2rad(a))
+        return (np.stack(xs)[..., None].astype(np.float32), np.array(angs))
+
+    train_x, _ = make(150)
+    test_x, test_a = make(80)
+
+    cfg = ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=64, num_layers=2,
+                        fourier_expansion=True, fourier_sigma=2.0 / (D - 1)),
+        EncoderConfig(image_dim=D, z_dim=2, kernels_num=32, kernels_size=9,
+                      padding=4, groupconv=8),
+        LikelihoodConfig())
+    model = TargetVAE(cfg)
+    trainer = Trainer(model, TrainConfig(learning_rate=3e-3,
+                                         minibatch_size=30))
+    state = trainer.init_state(0)
+    data = jnp.asarray(train_x)
+    for _ in range(30):
+        state, _ = trainer.train_epoch(state, data)
+
+    theta = np.asarray(
+        model.embed(state.params, jnp.asarray(test_x))["theta_mu"]).ravel()
+    corr = circular_corrcoef(theta, test_a)
+    assert abs(corr) >= 0.9, corr
