@@ -48,15 +48,26 @@ class Trainer:
         self._mesh = None
         self._x_coord = model.base_grid()
 
-        # Raise the per-fusion scoped-VMEM budget on TPU: under the default
-        # limit the big-k lift conv's emitter fails its preferred window
-        # config and retries with 6.6x-worse blocking (dsprites fwd conv
-        # 16.6 ms at 1.1 MB scoped vs 13.9M est. cycles at 10 MB; see
-        # tools/bench_lift_chain.py and BENCH_NOTES.md). Harmless for the
-        # small-k (fused Pallas lift) configs; measured on every config.
-        # TARGETVAE_SCOPED_VMEM_KIB overrides (0 disables — escape hatch if
-        # a config ever VMEM-OOMs under the raised budget).
-        kib = os.environ.get("TARGETVAE_SCOPED_VMEM_KIB", "65536")
+        # Raise the per-fusion scoped-VMEM budget on TPU for big-k-tier
+        # configs whose lift conv output grid is at least the image
+        # (padding >= k/2, e.g. dsprites k=64/pad=32 -> H'=65): there the
+        # conv emitter fails its preferred window config under the default
+        # budget and retries with 6.6x-worse blocking (dsprites fwd conv
+        # 97.7M est. cycles at 1.1 MB scoped vs 13.9M at 10 MB; measured
+        # 40.7 -> 34.8 ms/step; 16 MiB is NOT enough to unlock it). Every
+        # other measured config is ~2% SLOWER under the raised budget
+        # (flagship 5098 -> 4984 img/s; galaxy 34.4 -> 35.1; particles-ctf
+        # 65.1 -> 65.9 — their convs already get their preferred configs),
+        # so they keep the default. TARGETVAE_SCOPED_VMEM_KIB overrides
+        # either way (0 disables — escape hatch if a config VMEM-OOMs).
+        from ..models.encoders import _use_encoder_kernel
+        ecfg = model.cfg.encoder
+        big_k_tier = (ecfg.mode == "C"
+                      and self._kernels_would_engage()
+                      and not _use_encoder_kernel(ecfg, self.compute_dtype))
+        wants_budget = big_k_tier and 2 * ecfg.padding >= ecfg.kernels_size
+        kib = os.environ.get("TARGETVAE_SCOPED_VMEM_KIB",
+                             "65536" if wants_budget else "0")
         copts = ({"xla_tpu_scoped_vmem_limit_kib": kib}
                  if jax.default_backend() == "tpu" and kib != "0" else None)
         self._train_scan = jax.jit(self._epoch_scan_impl, donate_argnums=0,
