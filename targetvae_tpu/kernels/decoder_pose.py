@@ -202,7 +202,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     gxv = -1.0 + (2.0 / (n - 1)) * jx
     gyv = 1.0 - (2.0 / (hp_rows - 1)) * iy
     wred = jnp.concatenate([ones, gxv, gyv], axis=1)    # (px, 3)
-    n_chunks = 2 if F % 256 == 0 else 1
+    n_chunks = _DEBUG_NCHUNKS or (2 if F % 256 == 0 else 1)
     Fc = F // n_chunks
     dw1_parts, red_parts = [], []
     for c in range(n_chunks):
@@ -437,10 +437,12 @@ def _vjp_bwd(n, tr, act_kind, interpret, res, g):
 
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
-# Tile-row debug override, read ONCE at import: the jit cache does not key on
-# env vars, so a post-compile change would silently not apply for cached
-# shapes. Set TARGETVAE_DECODER_TR before the process's first compile.
+# Tile-row / F-chunk debug overrides, read ONCE at import: the jit cache does
+# not key on env vars, so a post-compile change would silently not apply for
+# cached shapes. Set TARGETVAE_DECODER_TR / TARGETVAE_DEC_NCHUNKS before the
+# process's first compile (bench sweeps only; 0 = tuned defaults).
 _DEBUG_TR = int(os.environ.get("TARGETVAE_DECODER_TR", "0"))
+_DEBUG_NCHUNKS = int(os.environ.get("TARGETVAE_DEC_NCHUNKS", "0"))
 
 
 def pose_decoder_supported(cfg) -> bool:

@@ -6,10 +6,11 @@ the remaining per-position work — the 1x1x1 mixing conv and the three fused
 heads (reference src/models.py:347-351) — is pure matmul FLOPs (~2.1 TFLOP
 fwd+bwd at the cryo-EM scale) but costs 23.4 ms in XLA because every
 intermediate (pre2, h2, dh2, dpre2) round-trips HBM in f32. This kernel runs
-the whole chain on VMEM tiles: h1 is read once (bf16), h2 is saved as a bf16
-residual for the backward (its activation derivative is recovered from the
-value, as in decoder_pose._dact_from_h), and the backward emits dh1 bf16 for
-the conv's weight gradient.
+the whole chain on VMEM tiles: h1 is read once (bf16), NOTHING is saved for
+the backward (h2 is recomputed from h1 in the bwd kernel — one extra mixing
+matmul beats the 640 MB residual write+read at EMPIAR scale; its activation
+derivative is recovered from the value, as in decoder_pose._dact_from_h),
+and the backward emits dh1 bf16 for the conv's weight gradient.
 
 Layout note: tiles are position-major with the (r, k) channel axis last, so
 the per-rotation matmuls ride the 128-lane MXU axis; position order (i-major
@@ -32,7 +33,7 @@ from .decoder_pose import _dact_from_h
 
 def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
                 R: int, K: int, D: int, G: int, act_kind: str,
-                save_res: bool, lift: bool):
+                lift: bool):
     """w2_ref/wh_ref hold GROUP-BLOCK-DIAGONAL weights kron(I_G, w2) /
     kron(I_G, wh): G rotations share one (G*K, G*K) matmul. The mixing is
     block-diagonal over rotations with the SAME w2 for every r, so per-r
@@ -48,31 +49,32 @@ def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
                   act_kind).astype(jnp.bfloat16)
     else:
         h1 = h1_ref[0]                               # (T, R*K) bf16
-    out_ref, rest_refs = rest_refs[0], rest_refs[1:]
+    out_ref = rest_refs[0]
     GK, GD = G * K, G * D
     b2t = jnp.concatenate([b2_ref[...]] * G, axis=-1)   # (1, G*K)
     bht = jnp.concatenate([bh_ref[...]] * G, axis=-1)   # (1, G*D)
     outs = []
-    h2s = []
     for gi in range(R // G):
         h1g = h1[:, gi * GK:(gi + 1) * GK]
         pre2 = jnp.dot(h1g, w2_ref[...],
                        preferred_element_type=jnp.float32) + b2t
         h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
-        h2s.append(h2)
         outs.append(jnp.dot(h2, wh_ref[...],
                             preferred_element_type=jnp.float32) + bht)
     out_ref[0] = jnp.concatenate(outs, axis=-1)      # (T, R*D)
-    if save_res:
-        rest_refs[0][0] = jnp.concatenate(h2s, axis=-1)  # h2 (T, R*K) bf16
 
 
-def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
+def _bwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, g_ref, *rest_refs,
                 R: int, K: int, D: int, G: int, act_kind: str, lift: bool):
     """Grouped like the forward (see _fwd_kernel): the per-group weight
     cotangents come out as (G*K, G*K)/(G*K, G*D) full products whose
     diagonal K-blocks are summed — the off-diagonal blocks correspond to
-    the structural zeros of the block-diagonal weights and are discarded."""
+    the structural zeros of the block-diagonal weights and are discarded.
+
+    h2 is RECOMPUTED from h1 (one extra mixing matmul per tile) instead of
+    being saved by the forward: the residual cost a 640 MB h2 write in the
+    fwd plus a 640 MB read here (~1.6 ms/step of HBM at EMPIAR scale) where
+    the recompute is ~0.4 ms of MXU."""
     t_idx = pl.program_id(0)
     if lift:
         bc_ref = rest_refs[0]
@@ -83,9 +85,9 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
     else:
         (dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref) = rest_refs
         h1 = h1_ref[0]
-    h2 = h2_ref[0]
     g = g_ref[0]                                     # (T, R*D) f32
     GK, GD = G * K, G * D
+    b2t = jnp.concatenate([b2_ref[...]] * G, axis=-1)   # (1, G*K)
 
     dw2_full = jnp.zeros((GK, GK), jnp.float32)
     db2_full = jnp.zeros((1, GK), jnp.float32)
@@ -95,7 +97,9 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
     dbc_parts = []
     for gi in range(R // G):
         h1g = h1[:, gi * GK:(gi + 1) * GK]
-        h2g = h2[:, gi * GK:(gi + 1) * GK]
+        pre2 = jnp.dot(h1g, w2_ref[...],
+                       preferred_element_type=jnp.float32) + b2t
+        h2g = _act(pre2, act_kind).astype(jnp.bfloat16)
         gg = g[:, gi * GD:(gi + 1) * GD]
         gg16 = gg.astype(jnp.bfloat16)
         dwh_full += jax.lax.dot_general(h2g, gg16, (((0,), (0,)), ((), ())),
@@ -154,17 +158,18 @@ def _bwd_kernel(h1_ref, h2_ref, w2_ref, wh_ref, g_ref, *rest_refs,
 _TILE = 512   # rows per program: 3 bf16 + 2 f32 RK-wide tiles ~= 5 MB
 
 
-def _group_for(R: int, K: int, group: int = 0) -> int:
+def _group_for(R: int, K: int, group: int = 0, bwd: bool = False) -> int:
     """Rotations per block-diagonal matmul group (kron(I_G, w2) trades
     G-fold redundant FLOPs for R/G-fold fewer matmuls). Measured at EMPIAR
-    scale (R=8, K=128, N=312050, tools/bench_mix_heads.py): G=1 11.6 ms
-    fwd+bwd, G=2 11.7, G=4 13.2, G=8 18.6 — Mosaic pipelines the per-r
-    small matmuls well, so the redundant FLOPs never pay for themselves.
-    Default stays 1; the knob is kept for other (R, K) regimes."""
+    scale (R=8, K=128, tools/bench_mix_heads.py) with the h2-recompute bwd:
+    fwd G=1 is best (recompute-free fwd pipelines its per-r matmuls well);
+    the bwd, which now runs 6 matmuls per rotation, prefers G=2 (G=1 12.17
+    ms fwd+bwd standalone, G=2 11.41, G=4 14.4, G=8 21.5). The knob is kept
+    for other (R, K) regimes."""
     if group:
         assert R % group == 0, (R, group)
         return group
-    return 1
+    return 2 if (bwd and R % 2 == 0) else 1
 
 
 def _block_diag(w, G: int):
@@ -202,7 +207,7 @@ def _pad_rows(x, T):
     return x, n
 
 
-def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
+def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret,
          bc=None, group=0):
     lift = bc is not None
     G = _group_for(R, K, group)
@@ -214,9 +219,9 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
     h1v = h1p.reshape(grid[0], T, RK)
     extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
     extra_args = [bc.reshape(1, RK).astype(jnp.float32)] if lift else []
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, R=R, K=K, D=D, G=G, act_kind=act_kind,
-                          save_res=save_res, lift=lift),
+                          lift=lift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
@@ -225,30 +230,24 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret, save_res,
             pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, D), rep),
         ] + extra_in,
-        out_specs=[pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0))]
-                  + ([pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0))]
-                     if save_res else []),
-        out_shape=[jax.ShapeDtypeStruct((grid[0], T, R * D), jnp.float32)]
-                  + ([jax.ShapeDtypeStruct((grid[0], T, RK), jnp.bfloat16)]
-                     if save_res else []),
+        out_specs=pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid[0], T, R * D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(h1v, _block_diag(w2, G), b2.reshape(1, K),
       _block_diag(wh, G), bh.reshape(1, D), *extra_args)
-    out = outs[0].reshape(-1, R * D)[:n_rows]
-    if save_res:
-        return out, outs[1]
-    return out
+    return out.reshape(-1, R * D)[:n_rows]
 
 
 def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
-    h1, h2v, w2, b2, wh, bh, bc = res
+    h1, w2, b2, wh, bh, bc = res
     lift = bc is not None
-    G = _group_for(R, K, group)
+    G = _group_for(R, K, group, bwd=True)
     n_rows, RK = h1.shape
-    nt, T, _ = h2v.shape
+    T = _tile_for(n_rows)
     h1p, _ = _pad_rows(h1, T)
+    nt = h1p.shape[0] // T
     gp, _ = _pad_rows(g, T)   # zero rows -> zero grads, safe for accumulators
     rep = lambda i: (0, 0)
     extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
@@ -262,8 +261,8 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
             pl.BlockSpec((G * K, G * K), rep),
+            pl.BlockSpec((1, K), rep),
             pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
         ] + extra_in,
@@ -282,7 +281,7 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(h1p.reshape(nt, T, RK), h2v, _block_diag(w2, G),
+    )(h1p.reshape(nt, T, RK), _block_diag(w2, G), b2.reshape(1, K),
       _block_diag(wh, G), gp.reshape(nt, T, R * D), *extra_args)
     if lift:
         dh1, dw2, db2, dwh, dbh, dbc = outs
@@ -296,13 +295,13 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _fused(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh):
     return _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                interpret=interpret, save_res=False, group=group)
+                interpret=interpret, group=group)
 
 
 def _vjp_fwd(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh):
-    out, h2v = _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                    interpret=interpret, save_res=True, group=group)
-    return out, (h1, h2v, w2, b2, wh, bh, None)
+    out = _fwd(h1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+               interpret=interpret, group=group)
+    return out, (h1, w2, b2, wh, bh, None)
 
 
 def _vjp_bwd(R, K, D, act_kind, interpret, group, res, g):
@@ -317,14 +316,14 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 def _fused_lift(R, K, D, act_kind, interpret, group, pre1, bc, w2, b2, wh,
                 bh):
     return _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                interpret=interpret, save_res=False, bc=bc, group=group)
+                interpret=interpret, bc=bc, group=group)
 
 
 def _vjp_fwd_lift(R, K, D, act_kind, interpret, group, pre1, bc, w2, b2, wh,
                   bh):
-    out, h2v = _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
-                    interpret=interpret, save_res=True, bc=bc, group=group)
-    return out, (pre1, h2v, w2, b2, wh, bh, bc)
+    out = _fwd(pre1, w2, b2, wh, bh, R=R, K=K, D=D, act_kind=act_kind,
+               interpret=interpret, bc=bc, group=group)
+    return out, (pre1, w2, b2, wh, bh, bc)
 
 
 def _vjp_bwd_lift(R, K, D, act_kind, interpret, group, res, g):

@@ -251,9 +251,9 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     D = 3 + 2 * cfg.z_dim
     if use_kernel:
         # fused Pallas lift-act + mixing + heads: the raw conv output goes in
-        # bf16, h1 = act(pre1 + bc) lives in-kernel, h2 is a bf16 residual,
-        # and the backward emits the bf16 conv cotangent dpre1 directly
-        # (kernels/mix_heads.py)
+        # bf16, h1 = act(pre1 + bc) and h2 live in-kernel (recomputed in the
+        # bwd — no residuals), and the backward emits the bf16 conv
+        # cotangent dpre1 directly (kernels/mix_heads.py)
         from ..kernels.mix_heads import fused_lift_act_mix_heads
         out = fused_lift_act_mix_heads(
             pre1_t.reshape(hp * (cols + padc), R * K), bc_vec,

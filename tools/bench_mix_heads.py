@@ -19,7 +19,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from targetvae_tpu.kernels.mix_heads import fused_lift_act_mix_heads
 
 
-def bench(G, R=8, K=128, D=7, N=312050):
+def bench(G, R=8, K=128, D=7, N=312208):
+    # N matches the in-step EMPIAR value AFTER the lift batch pad
+    # (models/encoders.py::_lift_batch_pad): 312208 = 494 x 632, an 8-aligned
+    # tile divisor — the unpadded 312050 forces T=395 and re-tiles h1/dpre1.
     ks = jax.random.split(jax.random.key(0), 6)
     pre1 = (jax.random.normal(ks[0], (N, R * K)) * 0.5).astype(jnp.bfloat16)
     bc = jax.random.normal(ks[1], (R * K,)) * 0.1
