@@ -139,6 +139,93 @@ def test_data_parallel_epoch():
     assert np.isfinite(elbo)
 
 
+def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
+    """VERDICT r1 #3 done-criterion: on a ('data','model') mesh the Trainer's
+    two-axis shard_map loss (train/loop.py::_loss_fn_dp) must still dispatch
+    every fused Pallas kernel — the inverted counter — and the sharded step
+    must match both the single-device kernel step and the plain XLA step.
+
+    The kernel gates key on jax.default_backend() == 'tpu'; here the backend
+    is patched and the kernels run in interpret mode, with all sampling noise
+    zeroed (posterior deterministic=True == softmax sample, the same collapse
+    the gumbel patch applies to the XLA tier)."""
+    import targetvae_tpu.kernels.decoder_pose as DP
+    import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.posterior as PK
+    import targetvae_tpu.models.encoders as EN
+
+    # zero all sampling noise so shard-index key folds cannot matter
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        EN, "gumbel_softmax",
+        lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits, axis=axis))
+
+    model = _model()
+
+    def run(trainer, mesh=None):
+        y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
+        state = trainer.init_state(0)
+        if mesh is not None:
+            trainer.attach_mesh(mesh)
+            state = shard_state(mesh, state)
+            y, _ = shard_batch(mesh, y)
+        _, m = jax.jit(trainer._step_impl)(state, y)
+        return np.asarray(jax.device_get(m))
+
+    # 1) plain XLA tier (kernels off: real backend is cpu)
+    m_xla = run(Trainer(model, TrainConfig(learning_rate=1e-3,
+                                           compute_dtype="bfloat16")))
+
+    # 2)+3) gate the kernel paths on, in interpret mode, with call counters
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    orig = (LE.fused_lifted_encoder, PK.fused_posterior, DP.fused_pose_decoder)
+
+    def lift(*a, **kw):
+        calls["lift"] += 1
+        kw["interpret"] = True
+        return orig[0](*a, **kw)
+
+    def post(*a, **kw):
+        calls["posterior"] += 1
+        kw["interpret"] = True
+        kw["deterministic"] = True
+        return orig[1](*a, **kw)
+
+    def dec(*a, **kw):
+        calls["decoder"] += 1
+        kw["interpret"] = True
+        return orig[2](*a, **kw)
+
+    monkeypatch.setattr(LE, "fused_lifted_encoder", lift)
+    monkeypatch.setattr(PK, "fused_posterior", post)
+    monkeypatch.setattr(DP, "fused_pose_decoder", dec)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    m_kernel = run(Trainer(model, TrainConfig(learning_rate=1e-3,
+                                              compute_dtype="bfloat16")))
+    single = dict(calls)
+    assert all(v > 0 for v in single.values()), single
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, dp=4, tp=2,
+                                         compute_dtype="bfloat16"))
+    m_mesh = run(trainer, mesh=mesh)
+    assert trainer._use_mesh_shardmap()
+    mesh_calls = {k: calls[k] - single[k] for k in calls}
+    assert all(v > 0 for v in mesh_calls.values()), mesh_calls  # the point
+
+    assert np.isfinite(m_mesh).all()
+    # kernel path, sharded vs single-device: same math, shard_map composition
+    np.testing.assert_allclose(m_kernel, m_mesh, rtol=2e-3, atol=0.05)
+    # kernel path vs XLA tier: bf16-kernel-level tolerance
+    np.testing.assert_allclose(m_xla, m_mesh, rtol=2e-2, atol=0.3)
+
+
 def test_sp_particles_ctf_step_matches_single_device():
     """--sp composed with the cryo-EM likelihood (gaussian + per-particle
     CTF + circular mask) — the configuration the grid-sharded posterior
