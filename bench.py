@@ -91,12 +91,23 @@ def main():
     mode = max(results, key=results.get)
     ips = results[mode]
     baseline = load_baseline()
+
+    # analytic per-step matmul FLOPs -> MFU (utils/flops.py)
+    from targetvae_tpu.utils.flops import step_flops, mfu, V5E_BF16_PEAK
+    from __graft_entry__ import _flagship_config
+    batch = 100
+    fl = step_flops(_flagship_config(), batch)["total"]
+    step_s = batch / ips
+
     out = {
         "metric": "images/sec/chip, MNIST-U P8 attention+offsets train step "
                   f"(fwd+bwd+Adam, batch 100, TPU v5e, {mode})",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2) if baseline else None,
+        "tflops_per_step": round(fl / 1e12, 3),
+        "mfu": round(mfu(fl, step_s), 4),
+        "mfu_peak_tflops": V5E_BF16_PEAK / 1e12,
     }
     print(json.dumps(out))
 

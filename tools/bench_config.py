@@ -128,8 +128,26 @@ def main():
         state, m = trainer._train_step(state, y, ctf=ctf_b)
     jax.device_get(m)
     dt = (time.time() - t0) / args.steps
+
+    from targetvae_tpu.utils.flops import step_flops, mfu
+    fl = step_flops(cfg, batch,
+                    ctf_dim=None if ctf is None else ctf.shape[-1])
     print(f"{args.config} batch={batch} dtype={dtype or 'f32'}: "
-          f"{dt * 1e3:.1f} ms/step = {batch / dt:.1f} images/sec")
+          f"{dt * 1e3:.1f} ms/step = {batch / dt:.1f} images/sec | "
+          f"{fl['total'] / 1e12:.2f} TFLOP/step, MFU {mfu(fl['total'], dt):.1%}"
+          f" (vs 197 TF/s bf16 peak)")
+    top = sorted(fl["breakdown"].items(), key=lambda kv: -kv[1])
+    print("# flops breakdown: "
+          + ", ".join(f"{k}={v / 1e12:.2f}T" for k, v in top),
+          file=sys.stderr)
+    import json
+    print(json.dumps({
+        "config": args.config, "batch": batch,
+        "dtype": dtype or "f32", "ms_per_step": round(dt * 1e3, 2),
+        "images_per_sec": round(batch / dt, 1),
+        "tflops_per_step": round(fl["total"] / 1e12, 3),
+        "mfu": round(mfu(fl["total"], dt), 4),
+    }))
 
 
 if __name__ == "__main__":
