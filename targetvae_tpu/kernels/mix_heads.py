@@ -32,15 +32,19 @@ from .decoder_pose import _dact_from_h
 
 
 def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
-                R: int, K: int, D: int, G: int, act_kind: str,
+                R: int, K: int, KI: int, D: int, G: int, act_kind: str,
                 lift: bool):
     """w2_ref/wh_ref hold GROUP-BLOCK-DIAGONAL weights kron(I_G, w2) /
-    kron(I_G, wh): G rotations share one (G*K, G*K) matmul. The mixing is
+    kron(I_G, wh): G rotations share one (G*KI, G*K) matmul. The mixing is
     block-diagonal over rotations with the SAME w2 for every r, so per-r
-    (T,K)@(K,K) matmuls are mathematically equal but run ~25 us/tile of MXU
+    (T,KI)@(KI,K) matmuls are mathematically equal but run ~25 us/tile of MXU
     launch overhead at R=8 (the measured mix_heads bwd cost at EMPIAR
     scale); grouping trades G-fold redundant FLOPs (zeros off the diagonal)
-    for R/G-fold fewer, deeper matmuls."""
+    for R/G-fold fewer, deeper matmuls.
+
+    KI is the per-rotation INPUT width of the mixing (KI == K for mode C's
+    square 1x1x1 conv; mode B folds its fc_r rotation collapse + conv2 into
+    one rectangular (R_lift*K, K) mixing run at R=1, KI=R_lift*K)."""
     if lift:
         # h1_ref holds the RAW conv output pre1 (no bias, no act); bc is the
         # lift bias — the activation lives in-kernel so its backward does too
@@ -48,14 +52,14 @@ def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
         h1 = _act(h1_ref[0].astype(jnp.float32) + bc_ref[...],
                   act_kind).astype(jnp.bfloat16)
     else:
-        h1 = h1_ref[0]                               # (T, R*K) bf16
+        h1 = h1_ref[0]                               # (T, R*KI) bf16
     out_ref = rest_refs[0]
-    GK, GD = G * K, G * D
+    GKI, GD = G * KI, G * D
     b2t = jnp.concatenate([b2_ref[...]] * G, axis=-1)   # (1, G*K)
     bht = jnp.concatenate([bh_ref[...]] * G, axis=-1)   # (1, G*D)
     outs = []
     for gi in range(R // G):
-        h1g = h1[:, gi * GK:(gi + 1) * GK]
+        h1g = h1[:, gi * GKI:(gi + 1) * GKI]
         pre2 = jnp.dot(h1g, w2_ref[...],
                        preferred_element_type=jnp.float32) + b2t
         h2 = _act(pre2, act_kind).astype(jnp.bfloat16)
@@ -65,7 +69,8 @@ def _fwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, bh_ref, *rest_refs,
 
 
 def _bwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, g_ref, *rest_refs,
-                R: int, K: int, D: int, G: int, act_kind: str, lift: bool):
+                R: int, K: int, KI: int, D: int, G: int, act_kind: str,
+                lift: bool):
     """Grouped like the forward (see _fwd_kernel): the per-group weight
     cotangents come out as (G*K, G*K)/(G*K, G*D) full products whose
     diagonal K-blocks are summed — the off-diagonal blocks correspond to
@@ -86,17 +91,17 @@ def _bwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, g_ref, *rest_refs,
         (dh1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref) = rest_refs
         h1 = h1_ref[0]
     g = g_ref[0]                                     # (T, R*D) f32
-    GK, GD = G * K, G * D
+    GK, GKI, GD = G * K, G * KI, G * D
     b2t = jnp.concatenate([b2_ref[...]] * G, axis=-1)   # (1, G*K)
 
-    dw2_full = jnp.zeros((GK, GK), jnp.float32)
+    dw2_full = jnp.zeros((GKI, GK), jnp.float32)
     db2_full = jnp.zeros((1, GK), jnp.float32)
     dwh_full = jnp.zeros((GK, GD), jnp.float32)
     dbh_full = jnp.zeros((1, GD), jnp.float32)
     dh1_parts = []
     dbc_parts = []
     for gi in range(R // G):
-        h1g = h1[:, gi * GK:(gi + 1) * GK]
+        h1g = h1[:, gi * GKI:(gi + 1) * GKI]
         pre2 = jnp.dot(h1g, w2_ref[...],
                        preferred_element_type=jnp.float32) + b2t
         h2g = _act(pre2, act_kind).astype(jnp.bfloat16)
@@ -126,8 +131,8 @@ def _bwd_kernel(h1_ref, w2_ref, b2_ref, wh_ref, g_ref, *rest_refs,
         else:
             dh1_parts.append(dh1g.astype(jnp.bfloat16))
     dh1_ref[0] = jnp.concatenate(dh1_parts, axis=-1)
-    # collapse the group axis: sum the diagonal K-blocks
-    dw2 = sum(dw2_full[i * K:(i + 1) * K, i * K:(i + 1) * K]
+    # collapse the group axis: sum the diagonal (KI, K)-blocks
+    dw2 = sum(dw2_full[i * KI:(i + 1) * KI, i * K:(i + 1) * K]
               for i in range(G))
     dwh = sum(dwh_full[i * K:(i + 1) * K, i * D:(i + 1) * D]
               for i in range(G))
@@ -211,21 +216,22 @@ def _fwd(h1, w2, b2, wh, bh, *, R, K, D, act_kind, interpret,
          bc=None, group=0):
     lift = bc is not None
     G = _group_for(R, K, group)
+    KI = w2.shape[0]
     T = _tile_for(h1.shape[0])
     h1p, n_rows = _pad_rows(h1, T)
-    RK = h1.shape[1]
+    RK = h1.shape[1]                                  # = R * KI
     grid = (h1p.shape[0] // T,)
     rep = lambda i: (0, 0)
     h1v = h1p.reshape(grid[0], T, RK)
     extra_in = [pl.BlockSpec((1, RK), rep)] if lift else []
     extra_args = [bc.reshape(1, RK).astype(jnp.float32)] if lift else []
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, R=R, K=K, D=D, G=G, act_kind=act_kind,
-                          lift=lift),
+        functools.partial(_fwd_kernel, R=R, K=K, KI=KI, D=D, G=G,
+                          act_kind=act_kind, lift=lift),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((G * K, G * K), rep),
+            pl.BlockSpec((G * KI, G * K), rep),
             pl.BlockSpec((1, K), rep),
             pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, D), rep),
@@ -244,6 +250,7 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
     h1, w2, b2, wh, bh, bc = res
     lift = bc is not None
     G = _group_for(R, K, group, bwd=True)
+    KI = w2.shape[0]
     n_rows, RK = h1.shape
     T = _tile_for(n_rows)
     h1p, _ = _pad_rows(h1, T)
@@ -256,25 +263,25 @@ def _bwd(res, g, *, R, K, D, act_kind, interpret, group=0):
     extra_out_shape = ([jax.ShapeDtypeStruct((1, RK), jnp.float32)]
                        if lift else [])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, R=R, K=K, D=D, G=G, act_kind=act_kind,
-                          lift=lift),
+        functools.partial(_bwd_kernel, R=R, K=K, KI=KI, D=D, G=G,
+                          act_kind=act_kind, lift=lift),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-            pl.BlockSpec((G * K, G * K), rep),
+            pl.BlockSpec((G * KI, G * K), rep),
             pl.BlockSpec((1, K), rep),
             pl.BlockSpec((G * K, G * D), rep),
             pl.BlockSpec((1, T, R * D), lambda i: (i, 0, 0)),
         ] + extra_in,
         out_specs=tuple(
             [pl.BlockSpec((1, T, RK), lambda i: (i, 0, 0)),
-             pl.BlockSpec((K, K), rep),
+             pl.BlockSpec((KI, K), rep),
              pl.BlockSpec((1, K), rep),
              pl.BlockSpec((K, D), rep),
              pl.BlockSpec((1, D), rep)] + extra_out_specs),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((nt, T, RK), jnp.bfloat16),
-             jax.ShapeDtypeStruct((K, K), jnp.float32),
+             jax.ShapeDtypeStruct((KI, K), jnp.float32),
              jax.ShapeDtypeStruct((1, K), jnp.float32),
              jax.ShapeDtypeStruct((K, D), jnp.float32),
              jax.ShapeDtypeStruct((1, D), jnp.float32)] + extra_out_shape),
@@ -339,9 +346,11 @@ _fused_lift.defvjp(_vjp_fwd_lift, _vjp_bwd_lift)
 def fused_mix_heads(h1, w2, b2, wh, bh, *, R: int, K: int,
                     act_kind: str = "leakyrelu", interpret: bool = False,
                     group: int = 0):
-    """h1: (N_positions, R*K) bf16 (any position order); w2/b2 mixing
-    (K, K); wh/bh fused heads (K, D). Returns (N_positions, R*D) f32.
-    Differentiable in h1 and all weights. group: rotations per
+    """h1: (N_positions, R*K_in) bf16 (any position order); w2/b2 mixing
+    (K_in, K) — rectangular allowed (K_in = w2.shape[0]; K_in == K for the
+    mode-C square mixing, K_in = R_lift*K for mode B's folded rotation
+    collapse at R=1); wh/bh fused heads (K, D). Returns (N_positions, R*D)
+    f32. Differentiable in h1 and all weights. group: rotations per
     block-diagonal matmul group (0 = auto, _group_for)."""
     D = wh.shape[1]
     return _fused(R, K, D, act_kind, interpret, group, h1, w2, b2, wh, bh)

@@ -201,17 +201,52 @@ def _lift_batch_pad(hp: int, cols: int) -> int:
     return 0
 
 
+def _lift_conv1d(y: jnp.ndarray, wc: jnp.ndarray, *, C: int, k: int,
+                 pad: int, hp: int, pad_batch: bool):
+    """The 2-D lift lowered as a 1-D conv over image rows (the big-k tier).
+
+    The dj window axis is folded into channels (batch = B*W' columns,
+    C_in = C*k, width = rows). XLA's implicit-GEMM lowering of THIS conv
+    runs at ~137 TF/s end to end (2.62 TFLOP in 19 ms at the cryo-EM scale)
+    where its direct 2-D lowering of image-sized kernels measures
+    25-42 TF/s; materializing the full (M, C*k*k) im2col patch matrix
+    instead costs 43 ms of 128-byte strided HBM writes before the matmul
+    even starts. Grads vs the explicit-patch formulation are bitwise
+    identical.
+
+    wc: (C*k*k, RK) matmul matrix with channel-major rows (c*k*k + di*k + dj).
+    Returns (pre1_t bf16 (H', B*W' + padc, RK), cols, padc) — output order
+    WNC = (H', B*W', RK) matches the conv's NATIVE layout ({2,0,1} over the
+    NWC view), so a row-major 2-D view of it is a bitcast; callers reorder
+    only their (R*D)-channel head output (~18x smaller than h1)."""
+    b = y.shape[0]
+    RK = wc.shape[1]
+    xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    n2 = xp.shape[1]
+    # q[b, i, j, c, dj] = xp[b, i, j+dj, c]
+    q = jnp.stack([xp[:, :, dj:dj + hp, :] for dj in range(k)],
+                  axis=-1).astype(jnp.bfloat16)          # (B, n2, W', C, k)
+    lhs = jnp.transpose(q, (0, 2, 3, 4, 1)).reshape(b * hp, C * k, n2)
+    lhs = jax.lax.stop_gradient(lhs)                     # images are data
+    cols = b * hp
+    padc = _lift_batch_pad(hp, cols) if pad_batch else 0
+    if padc:
+        lhs = jnp.pad(lhs, ((0, padc), (0, 0), (0, 0)))
+    # wc rows are (c*k*k + di*k + dj); conv wants (RK, (c,dj), di)
+    rhs = jnp.transpose(
+        wc.astype(jnp.bfloat16).reshape(C, k, k, RK),
+        (3, 0, 2, 1)).reshape(RK, C * k, k)
+    pre1_t = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID",
+        dimension_numbers=("NCW", "OIW", "WNC"))         # bf16 (H', cols+p, RK)
+    return pre1_t, cols, padc
+
+
 def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                        allow_kernels: bool = True):
     """Mode-C forward for kernel sizes whose fused-kernel working set exceeds
-    VMEM (k = 64..65, cryo-EM / dsprites / galaxy): the 2-D lift is lowered as
-    a 1-D conv over image rows with the dj window axis folded into channels
-    (batch = B*W' columns, C_in = C*k, width = rows). XLA's implicit-GEMM
-    lowering of THIS conv runs at ~137 TF/s end to end (2.62 TFLOP in 19 ms at
-    the cryo-EM scale) where its direct 2-D lowering of image-sized kernels
-    measures 25-42 TF/s; materializing the full (M, C*k*k) im2col patch matrix
-    instead costs 43 ms of 128-byte strided HBM writes before the matmul even
-    starts. Grads vs the explicit-patch formulation are bitwise identical."""
+    VMEM (k = 64..65, cryo-EM / dsprites / galaxy): 1-D-conv lift
+    (_lift_conv1d) + fused mixing/heads."""
     R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
                     cfg.padding)
     hp = attn_dim_for(cfg)
@@ -223,31 +258,8 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
     use_kernel = (allow_kernels and jax.default_backend() == "tpu"
                   and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
 
-    xp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    n2 = xp.shape[1]
-    # q[b, i, j, c, dj] = xp[b, i, j+dj, c]
-    q = jnp.stack([xp[:, :, dj:dj + hp, :] for dj in range(k)],
-                  axis=-1).astype(jnp.bfloat16)          # (B, n2, W', C, k)
-    lhs = jnp.transpose(q, (0, 2, 3, 4, 1)).reshape(b * hp, C * k, n2)
-    lhs = jax.lax.stop_gradient(lhs)                     # images are data
-    cols = b * hp
-    padc = _lift_batch_pad(hp, cols) if use_kernel else 0
-    if padc:
-        lhs = jnp.pad(lhs, ((0, padc), (0, 0), (0, 0)))
-    # wc rows are (c*k*k + di*k + dj); conv wants (RK, (c,dj), di)
-    rhs = jnp.transpose(
-        wc.astype(jnp.bfloat16).reshape(C, k, k, R * K),
-        (3, 0, 2, 1)).reshape(R * K, C * k, k)
-    # mixing + heads are position-wise, so the ROW ORDER fed to them is
-    # arbitrary: ask the conv for output order WNC = (H', B*W', RK), which
-    # matches its NATIVE layout ({2,0,1} over the NWC view) — the row-major
-    # 2-D view below is then a bitcast, where the row-major NWC view cost a
-    # 1.1 GB relayout copy on pre1 AND on dpre1 plus two 79-row-padded
-    # reshapes (~5.9 ms/step at EMPIAR scale via hlo_stats) — and reorder
-    # only the R*D head output (~18x smaller than h1)
-    pre1_t = jax.lax.conv_general_dilated(
-        lhs, rhs, (1,), "VALID",
-        dimension_numbers=("NCW", "OIW", "WNC"))         # bf16 (H', cols+p, RK)
+    pre1_t, cols, padc = _lift_conv1d(y, wc, C=C, k=k, pad=pad, hp=hp,
+                                      pad_batch=use_kernel)
     D = 3 + 2 * cfg.z_dim
     if use_kernel:
         # fused Pallas lift-act + mixing + heads: the raw conv output goes in
@@ -273,6 +285,79 @@ def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                       preferred_element_type=jnp.float32) + bh
     out = jnp.transpose(out, (1, 0, 2, 3, 4))            # -> (B, H', W', ...)
     return _split_heads(out.reshape(b, hp * hp, R, -1), b, hp, R, cfg.z_dim)
+
+
+def _mode_b_fast(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
+                 allow_kernels: bool = True):
+    """Mode-B TPU tier: 1-D-conv lift + folded rotation collapse.
+
+    The reference mode-B encoder (src/models.py:282-304) runs one conv with
+    kernel = image size (groupconv==0), or a group-conv lift followed by a
+    learned rotation collapse fc_r: Linear(R, 1) then the 1x1 mixing conv.
+    Both map onto mode C's machinery: the image-sized conv runs as the same
+    1-D implicit-GEMM lift (direct 2-D lowering of a 50x50 kernel measured
+    25-42 TF/s vs ~137-190 for the 1-D form), and — because fc_r and conv2
+    are two composed LINEAR maps with only an activation before them — they
+    fold into ONE rectangular (R*K, K) mixing matrix
+        M[(r,k'),k] = fc_w[r] * W2[k',k],  b' = fc_b * sum_k' W2[k',k] + b2
+    executed by the fused Pallas mixing/heads kernel at R=1
+    (kernels/mix_heads.py, rectangular K_in). Grads w.r.t. fc_r/conv2 chain
+    through the fold automatically (it is differentiable XLA ops on the
+    params). Returns the five raw head tensors with NO rotation axis."""
+    n, K, C = cfg.image_dim, cfg.kernels_num, cfg.in_channels
+    k, pad = n, n // 2                     # src/models.py:283,:290
+    hp = attn_dim_for(cfg)
+    b = y.shape[0]
+    zd = cfg.z_dim
+    act = _act(cfg.activation)
+
+    if cfg.groupconv == 0:
+        w1 = params["conv1"]["w"]                       # (K, C, k, k)
+        wc = jnp.transpose(w1, (1, 2, 3, 0)).reshape(C * k * k, K)
+        bc_vec = params["conv1"]["b"]                   # (K,)
+        mix_w, mix_b = params["conv2"]["w"], params["conv2"]["b"]
+        R = 1
+    else:
+        R = cfg.groupconv
+        rot = rotate_filter_bank(params["conv1"]["w"], R)  # (R,K,C,1,k,k)
+        wc = jnp.transpose(rot, (2, 3, 4, 5, 0, 1)).reshape(-1, R * K)
+        bc_vec = jnp.tile(params["conv1"]["b"], R)      # r-major (R*K,)
+        fw = params["fc_r"]["w"][:, 0]                  # (R,)
+        fb = params["fc_r"]["b"][0]
+        w2 = params["conv2"]["w"]                       # (K, K)
+        # rows r*K + k' match bc_vec / the lift's r-major channel order
+        mix_w = jnp.einsum("r,ik->rik", fw, w2).reshape(R * K, K)
+        mix_b = fb * jnp.sum(w2, axis=0) + params["conv2"]["b"]
+    wh = jnp.concatenate([params["conv_a"]["w"], params["conv_r"]["w"],
+                          params["conv_z"]["w"]], axis=1)
+    bh = jnp.concatenate([params["conv_a"]["b"], params["conv_r"]["b"],
+                          params["conv_z"]["b"]])
+    D = 3 + 2 * zd
+
+    use_kernel = (allow_kernels and jax.default_backend() == "tpu"
+                  and not os.environ.get("TARGETVAE_DISABLE_PALLAS"))
+    pre1_t, cols, padc = _lift_conv1d(y, wc, C=C, k=k, pad=pad, hp=hp,
+                                      pad_batch=use_kernel)
+    if use_kernel:
+        from ..kernels.mix_heads import fused_lift_act_mix_heads
+        out = fused_lift_act_mix_heads(
+            pre1_t.reshape(hp * (cols + padc), R * K), bc_vec,
+            mix_w, mix_b, wh, bh, R=1, K=K, act_kind=cfg.activation)
+        out = out.reshape(hp, cols + padc, D)
+        if padc:
+            out = out[:, :cols]
+    else:
+        h1 = act(pre1_t.astype(jnp.float32) + bc_vec).astype(jnp.bfloat16)
+        pre2 = jnp.dot(h1.reshape(hp, cols, R * K),
+                       mix_w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + mix_b
+        h2 = act(pre2).astype(jnp.bfloat16)
+        out = jnp.dot(h2, wh.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) + bh
+    out = out.reshape(hp, b, hp, D)
+    out = jnp.transpose(out, (1, 0, 2, 3))              # (B, H', W', D)
+    return (out[..., 0], out[..., 1], out[..., 2], out[..., 3:3 + zd],
+            out[..., 3 + zd:])
 
 
 def _fused_heads(params: dict, h: jnp.ndarray, zd: int):
@@ -329,20 +414,32 @@ def encoder_apply(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
 
     if cfg.mode == "B":
         n = cfg.image_dim
-        if cfg.groupconv == 0:
-            x = act(conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
-                           padding=n // 2, compute_dtype=compute_dtype))
+        if (compute_dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and not os.environ.get("TARGETVAE_DISABLE_PALLAS")):
+            # fast tier: 1-D-conv lift + folded fc_r/mixing/heads kernel
+            attn, theta_mu, theta_logstd, z_mu, z_logstd = _mode_b_fast(
+                params, cfg, y, allow_kernels=allow_kernels)
         else:
-            lift = act(lifted_conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
-                                     R=cfg.groupconv, padding=n // 2,
-                                     compute_dtype=compute_dtype))
-            # learned rotation collapse fc_r: Linear(R, 1) (src/models.py:292,303-304)
-            x = jnp.einsum("bhwrk,r->bhwk", lift, params["fc_r"]["w"][:, 0],
-                           preferred_element_type=jnp.float32)
-            x = x + params["fc_r"]["b"]
-        h = act(jnp.dot(x, params["conv2"]["w"],
-                        preferred_element_type=jnp.float32) + params["conv2"]["b"])
-        attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(params, h, zd)
+            if cfg.groupconv == 0:
+                x = act(conv2d(y, params["conv1"]["w"], params["conv1"]["b"],
+                               padding=n // 2, compute_dtype=compute_dtype))
+            else:
+                lift = act(lifted_conv2d(y, params["conv1"]["w"],
+                                         params["conv1"]["b"],
+                                         R=cfg.groupconv, padding=n // 2,
+                                         compute_dtype=compute_dtype))
+                # learned rotation collapse fc_r: Linear(R, 1)
+                # (src/models.py:292,303-304)
+                x = jnp.einsum("bhwrk,r->bhwk", lift,
+                               params["fc_r"]["w"][:, 0],
+                               preferred_element_type=jnp.float32)
+                x = x + params["fc_r"]["b"]
+            h = act(jnp.dot(x, params["conv2"]["w"],
+                            preferred_element_type=jnp.float32)
+                    + params["conv2"]["b"])
+            attn, theta_mu, theta_logstd, z_mu, z_logstd = _fused_heads(
+                params, h, zd)
         out = {
             "attn": attn,  # (B, H', W') logits
             "theta_mu": theta_mu, "theta_logstd": theta_logstd,

@@ -567,3 +567,78 @@ def test_mix_heads_kernel_parity():
         b32 = jnp.asarray(b, jnp.float32)
         rel = float(jnp.linalg.norm(a32 - b32) / (jnp.linalg.norm(a32) + 1e-9))
         assert rel < 0.05, rel
+
+
+def test_lift_act_mix_heads_rectangular_parity():
+    """Rectangular mixing (K_in != K, R=1) — the mode-B folded rotation
+    collapse (kernels/mix_heads.py) — vs the jnp chain, fwd + bwd."""
+    from targetvae_tpu.kernels.mix_heads import fused_lift_act_mix_heads
+
+    KI, K, D, N = 512, 128, 7, 700
+    ks = jax.random.split(jax.random.key(0), 6)
+    pre1 = (jax.random.normal(ks[0], (N, KI)) * 0.5).astype(jnp.bfloat16)
+    bc = jax.random.normal(ks[5], (KI,)) * 0.1
+    w2 = jax.random.normal(ks[1], (KI, K)) * 0.05
+    b2 = jax.random.normal(ks[2], (K,)) * 0.1
+    wh = jax.random.normal(ks[3], (K, D)) * 0.1
+    bh = jax.random.normal(ks[4], (D,)) * 0.1
+
+    def ref(pre1, bc, w2, b2, wh, bh):
+        h1 = jax.nn.leaky_relu(pre1.astype(jnp.float32) + bc,
+                               0.01).astype(jnp.bfloat16)
+        pre2 = jnp.dot(h1, w2.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + b2
+        h2 = jax.nn.leaky_relu(pre2, 0.01).astype(jnp.bfloat16)
+        return jnp.dot(h2, wh.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + bh
+
+    def ker(pre1, bc, w2, b2, wh, bh):
+        return fused_lift_act_mix_heads(pre1, bc, w2, b2, wh, bh, R=1, K=K,
+                                        act_kind="leakyrelu", interpret=True)
+
+    args = (pre1, bc, w2, b2, wh, bh)
+    y_r = ref(*args)
+    y_k = ker(*args)
+    assert y_k.shape == (N, D)
+    assert float(jnp.abs(y_r - y_k).max()) < 5e-3
+
+    loss = lambda f: lambda *a: jnp.sum(jnp.sin(f(*a)))
+    gr = jax.grad(loss(ref), argnums=tuple(range(6)))(*args)
+    gk = jax.grad(loss(ker), argnums=tuple(range(6)))(*args)
+    for a, b in zip(gr, gk):
+        a32 = jnp.asarray(a, jnp.float32)
+        b32 = jnp.asarray(b, jnp.float32)
+        assert not bool(jnp.isnan(b32).any())
+        rel = float(jnp.linalg.norm(a32 - b32) / (jnp.linalg.norm(a32) + 1e-9))
+        assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("groupconv", [0, 4])
+def test_mode_b_fast_tier_parity(groupconv):
+    """Mode-B fast tier (_mode_b_fast, XLA variant: 1-D-conv lift + folded
+    fc_r/conv2) vs the standard conv path, fwd + grads."""
+    cfg = EncoderConfig(t_inf="attention", r_inf="unimodal", image_dim=14,
+                        z_dim=2, kernels_num=16, groupconv=groupconv)
+    params = encoder_init(jax.random.key(0), cfg)
+    y = jax.random.uniform(jax.random.key(1), (3, 14, 14, 1))
+    ref = encoder_apply(params, cfg, y, key=None)
+    attn, th_mu, th_ls, z_mu, z_ls = EN._mode_b_fast(params, cfg, y)
+    assert attn.shape == ref["attn"].shape
+    for a, b in [(attn, ref["attn"]), (th_mu, ref["theta_mu"]),
+                 (th_ls, ref["theta_logstd"]), (z_mu, ref["z_mu"]),
+                 (z_ls, ref["z_logstd"])]:
+        assert float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()) < 1e-2
+
+    g_ref = jax.grad(lambda p: sum(
+        jnp.sum(jnp.sin(encoder_apply(p, cfg, y, key=None)[n]))
+        for n in ("attn", "theta_mu", "theta_logstd", "z_mu",
+                  "z_logstd")))(params)
+    g_fast = jax.grad(lambda p: sum(jnp.sum(jnp.sin(v)) for v in
+                                    EN._mode_b_fast(p, cfg, y)))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fast = dict(jax.tree_util.tree_leaves_with_path(g_fast))
+    for path, a in flat_ref:
+        b = flat_fast[path]
+        assert not bool(jnp.isnan(b).any()), path
+        rel = float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(a) + 1e-9))
+        assert rel < 0.05, (path, rel)

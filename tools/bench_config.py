@@ -35,6 +35,22 @@ def build(name: str):
     if name == "mnist":
         from __graft_entry__ import _flagship_config
         return _flagship_config(), 50, 1, None
+    if name in ("mnist-b", "mnist-b-p8"):
+        # mode B (attention x unimodal): BASELINE configs[0]'s model family
+        # at the flagship shape. groupconv 0 = plain image-sized conv
+        # (reference src/models.py:282-288); -p8 adds the group lift + fc_r.
+        image_dim = 50
+        cfg = ModelConfig(
+            generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=1,
+                                      num_layers=2, fourier_expansion=True,
+                                      fourier_sigma=2.0 / (image_dim - 1)),
+            encoder=EncoderConfig(t_inf="attention", r_inf="unimodal",
+                                  image_dim=image_dim, in_channels=1, z_dim=2,
+                                  kernels_num=128,
+                                  groupconv=8 if name.endswith("p8") else 0,
+                                  theta_prior=np.pi),
+            likelihood=LikelihoodConfig(kind="bernoulli"))
+        return cfg, image_dim, 1, None
     if name == "dsprites":
         image_dim = 64
         cfg = ModelConfig(
@@ -97,7 +113,8 @@ def build(name: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["mnist", "dsprites", "galaxy",
+    ap.add_argument("config", choices=["mnist", "mnist-b", "mnist-b-p8",
+                                       "dsprites", "galaxy",
                                        "particles", "particles-ctf"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
@@ -109,7 +126,8 @@ def main():
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg, n, c, ctf = build(args.config)
-    batch = args.batch or {"mnist": 100, "dsprites": 50, "galaxy": 50,
+    batch = args.batch or {"mnist": 100, "mnist-b": 100, "mnist-b-p8": 100,
+                           "dsprites": 50, "galaxy": 50,
                            "particles": 50, "particles-ctf": 50}[args.config]
     ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     dtype = None if args.f32 else "bfloat16"
