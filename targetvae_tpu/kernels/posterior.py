@@ -270,6 +270,206 @@ def _vjp_bwd(sig_r, zd, deterministic, interpret, res, g):
 _fused.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# grid-sharded (SP) variant: per-shard partials with global normalizers
+# ---------------------------------------------------------------------------
+# Each device runs these kernels on its LOCAL cell shard of the joint grid;
+# the caller (parallel/grid_softmax.sp_posterior_kernel) supplies the global
+# softmax normalizers (cross-device max + log-sum-exp over 'model') and psums
+# the emitted partial sums — the "Pallas blockwise softmax" composition of
+# SURVEY.md section 5 for the op at reference src/models.py:383-387. Inputs
+# are flat cell shards (B, C) viewed as (B, C//128, 128); p/grid/offs are
+# PER-CELL (offsets vary along the r-minor flatten), unlike the unsharded
+# kernel's (R, M) layout. Padded cells carry -1e30 logits: exp underflows to
+# exactly 0, the dead-cell guards neutralize their moments, and every partial
+# they contribute is 0 * finite = 0 (losses/elbo.py padding contract).
+
+
+def _sp_fwd_kernel(norm_ref, attn_ref, noise_ref, th_ref, z_ref, p_ref,
+                   gx_ref, gy_ref, offs_ref, out_ref, *, sig_r, zd):
+    attn = attn_ref[0]                                 # (S, 128) f32
+    q = attn - norm_ref[0, 0] - norm_ref[0, 1]         # log q, globally normed
+    eq = jnp.exp(q)
+    a = jnp.exp(attn + noise_ref[0] - norm_ref[0, 2] - norm_ref[0, 3])
+
+    gx = gx_ref[...]
+    gy = gy_ref[...]
+    offs = offs_ref[...]
+    dx0 = jnp.sum(a * gx)
+    dx1 = jnp.sum(a * gy)
+
+    th_mu = th_ref[0, 0]
+    th_std = jnp.exp(th_ref[0, 1]) + _EPS
+    th_mu_e = jnp.sum(a * th_mu)
+    th_std_e = jnp.sum(a * th_std)
+
+    dead = eq == 0.0
+    tq_mu = jnp.where(dead, 0.0, th_mu)
+    tq_std = jnp.where(dead, 1.0, th_std)
+    kl_th = (jnp.log(sig_r / tq_std)
+             + (tq_std * tq_std + (tq_mu - offs) ** 2) / (2.0 * sig_r * sig_r)
+             - 0.5)
+    val1 = jnp.sum(eq * (q - p_ref[...]))
+
+    z_mu_e = []
+    z_std_e = []
+    kl_z = jnp.zeros_like(attn)
+    for d in range(zd):
+        zm = z_ref[0, 0, d]
+        zs = jnp.exp(z_ref[0, 1, d]) + _EPS
+        z_mu_e.append(jnp.sum(a * zm))
+        z_std_e.append(jnp.sum(a * zs))
+        zq_mu = jnp.where(dead, 0.0, zm)
+        zq_std = jnp.where(dead, 1.0, zs)
+        kl_z = kl_z + (-jnp.log(zq_std)
+                       + 0.5 * (zq_std * zq_std + zq_mu * zq_mu) - 0.5)
+
+    kl = val1 + jnp.sum(eq * (kl_th + kl_z))
+    vals = z_mu_e + z_std_e + [th_mu_e, th_std_e, dx0, dx1, kl]
+    out_ref[0] = jnp.concatenate([v.reshape(1, 1) for v in vals], axis=1)
+
+
+def _sp_bwd_kernel(norm_ref, attn_ref, noise_ref, th_ref, z_ref, p_ref,
+                   gx_ref, gy_ref, offs_ref, g_ref,
+                   da_ref, dq_ref, dth_ref, dz_ref, sp_ref, *, sig_r, zd):
+    """Phase 1 of the SP backward: everything except the softmax vjps, whose
+    cross-shard sums S1 = sum(d_a * a), S2 = sum(d_q) the caller psums; the
+    final d_attn = a*(d_a - S1) + d_q - eq*S2 is elementwise XLA."""
+    attn = attn_ref[0]
+    q = attn - norm_ref[0, 0] - norm_ref[0, 1]
+    eq = jnp.exp(q)
+    a = jnp.exp(attn + noise_ref[0] - norm_ref[0, 2] - norm_ref[0, 3])
+    th_mu = th_ref[0, 0]
+    th_std = jnp.exp(th_ref[0, 1]) + _EPS
+    offs = offs_ref[...]
+
+    g = g_ref[0]                                       # (1, 2zd+5)
+    g_zmu = [g[0, d] for d in range(zd)]
+    g_zstd = [g[0, zd + d] for d in range(zd)]
+    g_thmu = g[0, 2 * zd]
+    g_thstd = g[0, 2 * zd + 1]
+    g_dx0 = g[0, 2 * zd + 2]
+    g_dx1 = g[0, 2 * zd + 3]
+    g_kl = g[0, 2 * zd + 4]
+
+    dead = eq == 0.0
+    live = jnp.logical_not(dead)
+    tq_mu = jnp.where(dead, 0.0, th_mu)
+    tq_std = jnp.where(dead, 1.0, th_std)
+    kl_th = (jnp.log(sig_r / tq_std)
+             + (tq_std * tq_std + (tq_mu - offs) ** 2) / (2.0 * sig_r * sig_r)
+             - 0.5)
+
+    # grads into the sample a (local cells)
+    d_a = (g_thmu * th_mu + g_thstd * th_std
+           + g_dx0 * gx_ref[...] + g_dx1 * gy_ref[...])
+    kl_z = jnp.zeros_like(attn)
+    for d in range(zd):
+        zm = z_ref[0, 0, d]
+        zs = jnp.exp(z_ref[0, 1, d]) + _EPS
+        d_a = d_a + g_zmu[d] * zm + g_zstd[d] * zs
+        zq_mu = jnp.where(dead, 0.0, zm)
+        zq_std = jnp.where(dead, 1.0, zs)
+        kl_z = kl_z + (-jnp.log(zq_std)
+                       + 0.5 * (zq_std * zq_std + zq_mu * zq_mu) - 0.5)
+
+    w = kl_th + kl_z
+    d_q = g_kl * eq * ((q - p_ref[...]) + 1.0 + w)
+
+    scale = g_kl * eq
+    d_thmu = g_thmu * a + jnp.where(
+        live, scale * (th_mu - offs) / (sig_r * sig_r), 0.0)
+    d_thstd = g_thstd * a + jnp.where(
+        live, scale * (th_std / (sig_r * sig_r) - 1.0 / th_std), 0.0)
+    dth_ref[0, 0] = d_thmu
+    dth_ref[0, 1] = d_thstd * (th_std - _EPS)          # d exp(ls)
+    for d in range(zd):
+        zm = z_ref[0, 0, d]
+        zs = jnp.exp(z_ref[0, 1, d]) + _EPS
+        dz_ref[0, 0, d] = g_zmu[d] * a + jnp.where(live, scale * zm, 0.0)
+        d_zs = g_zstd[d] * a + jnp.where(live, scale * (zs - 1.0 / zs), 0.0)
+        dz_ref[0, 1, d] = d_zs * (zs - _EPS)
+
+    da_ref[0] = d_a
+    dq_ref[0] = d_q
+    sp_ref[0] = jnp.concatenate(
+        [jnp.sum(d_a * a).reshape(1, 1), jnp.sum(d_q).reshape(1, 1)], axis=1)
+
+
+def posterior_shard_partials(norms, attn, noise, th, z, p, gx, gy, offs, *,
+                             sig_r, zd, interpret=False,
+                             want_grads=False, g=None):
+    """Raw per-shard posterior kernels (no custom VJP — the VJP lives at the
+    collective level, parallel/grid_softmax.sp_posterior_kernel).
+
+    norms (B, 4): [gmax_q, g_logsum_q, gmax_a, g_logsum_a] global softmax
+    normalizers per image. attn/noise (B, C); th (B, 2, C); z (B, 2, zd, C);
+    p/gx/gy/offs (C,) per-cell constants of the LOCAL shard (p globally
+    log-softmaxed). C must be a multiple of 1024.
+
+    Forward: (B, 2zd+5) local partial sums (psum to finish).
+    Backward (want_grads=True, g (B, 2zd+5) TOTAL cotangent): returns
+    (d_a, d_q, d_th, d_z, spart) where spart (B, 2) holds the local
+    [sum(d_a*a), sum(d_q)] softmax-vjp partials.
+    """
+    B, C = attn.shape
+    assert C % 1024 == 0, C
+    S = C // 128
+    n_out = 2 * zd + 5
+    view = lambda v: v.reshape(*v.shape[:-1], S, 128)
+    common_in = [
+        pl.BlockSpec((1, 4), lambda b: (b, 0)),                  # norms
+        pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0)),          # attn
+        pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0)),          # noise
+        pl.BlockSpec((1, 2, S, 128), lambda b: (b, 0, 0, 0)),    # theta
+        pl.BlockSpec((1, 2, zd, S, 128), lambda b: (b, 0, 0, 0, 0)),  # z
+        pl.BlockSpec((S, 128), lambda b: (0, 0)),                # p
+        pl.BlockSpec((S, 128), lambda b: (0, 0)),                # grid x
+        pl.BlockSpec((S, 128), lambda b: (0, 0)),                # grid y
+        pl.BlockSpec((S, 128), lambda b: (0, 0)),                # offsets
+    ]
+    args = (norms, view(attn), view(noise), view(th), view(z), view(p),
+            view(gx), view(gy), view(offs))
+    if not want_grads:
+        out = pl.pallas_call(
+            functools.partial(_sp_fwd_kernel, sig_r=sig_r, zd=zd),
+            grid=(B,),
+            in_specs=common_in,
+            out_specs=pl.BlockSpec((1, 1, n_out), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, 1, n_out), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(*args)
+        return out[:, 0]
+    da, dq, dth, dz, spart = pl.pallas_call(
+        functools.partial(_sp_bwd_kernel, sig_r=sig_r, zd=zd),
+        grid=(B,),
+        in_specs=common_in + [
+            pl.BlockSpec((1, 1, n_out), lambda b: (b, 0, 0)),    # cotangent
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, S, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 2, S, 128), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 2, zd, S, 128), lambda b: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2), lambda b: (b, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, zd, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 2), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*args, g.reshape(B, 1, n_out))
+    return (da.reshape(B, C), dq.reshape(B, C), dth.reshape(B, 2, C),
+            dz.reshape(B, 2, zd, C), spart[:, 0])
+
+
 def fused_posterior(key, attn, theta_mu, theta_logstd, z_mu, z_logstd,
                     p_tr, grid, offsets, sig_r, *, deterministic=False,
                     interpret=False):

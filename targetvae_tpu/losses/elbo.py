@@ -64,6 +64,77 @@ def _translation_log_prior(grid: np.ndarray) -> np.ndarray:
     return lp.astype(np.float32)
 
 
+def sp_cell_views(enc: dict, ecfg, b: int) -> dict:
+    """Flatten a skip_posterior encoder output to flat per-cell arrays plus
+    the trace-time cell constants — the shared assembly of the two SP tiers
+    (the GSPMD branch below and the Trainer's kernel path,
+    train/loop.py::_loss_fn_sp). Cell order is the r-minor flatten of
+    (H', W', R) for mode C, matching the unsharded tiers."""
+    ad = attn_dim_for(ecfg)
+    M = ad * ad
+    grid_np = np.asarray(attention_grid(ad, ecfg.image_dim))
+    p_t = _translation_log_prior(grid_np)
+    if ecfg.mode == "C":
+        R = ecfg.groupconv
+        sig_r = np.pi / R if R >= 1 else ecfg.theta_prior
+        grid_cells = jnp.asarray(np.repeat(grid_np, R, axis=0))
+        log_prior = (jnp.asarray(p_t)[:, None] + enc["p_r"]).reshape(-1)
+        offs_cells = jnp.tile(enc["offsets"], M)
+    else:
+        R = 1
+        sig_r = ecfg.theta_prior
+        grid_cells = jnp.asarray(grid_np)
+        log_prior = jnp.asarray(p_t)
+        offs_cells = jnp.zeros((M,), jnp.float32)
+    cells = M * R
+    return {
+        "cells": cells, "sig_r": float(sig_r),
+        "attn": enc["attn"].reshape(b, cells).astype(jnp.float32),
+        "th_mu": enc["theta_mu"].reshape(b, cells).astype(jnp.float32),
+        "th_ls": enc["theta_logstd"].reshape(b, cells).astype(jnp.float32),
+        "z_mu": enc["z_mu"].reshape(b, cells, ecfg.z_dim).astype(jnp.float32),
+        "z_ls": enc["z_logstd"].reshape(b, cells,
+                                        ecfg.z_dim).astype(jnp.float32),
+        "log_prior": log_prior, "grid_cells": grid_cells,
+        "offs_cells": offs_cells,
+    }
+
+
+def reconstruct_log_prob(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
+                         y: jnp.ndarray, theta: jnp.ndarray, dx: jnp.ndarray,
+                         z: jnp.ndarray,
+                         ctf: Optional[jnp.ndarray] = None,
+                         compute_dtype: Optional[jnp.dtype] = None,
+                         allow_kernels: bool = True) -> jnp.ndarray:
+    """Decode (theta, dx, z) and score y under the configured likelihood —
+    the shared reconstruction tail of every ELBO mode (reference
+    train_mnist.py:286-294 / train_particles.py:284-341)."""
+    gcfg, lcfg, ecfg = cfg.generator, cfg.likelihood, cfg.encoder
+    btw = 2.0 / (ecfg.image_dim - 1)
+    if allow_kernels and _use_pose_decoder(gcfg, compute_dtype):
+        # pose-aware fused kernel: exploits the regular pixel grid to make the
+        # Fourier phase separable (kernels/decoder_pose.py) — the direct
+        # n^2 * F cos is the single most expensive op of the training step
+        from ..kernels.decoder_pose import fused_pose_decoder
+        y_hat = fused_pose_decoder(theta, dx, z, params["generator"], gcfg,
+                                   ecfg.image_dim)
+    else:
+        x_t = transform_coords(x_coord, dx, theta)
+        y_hat = generator_apply(params["generator"], gcfg, x_t,
+                                z if gcfg.z_dim > 0 else None,
+                                compute_dtype=compute_dtype)
+    # big per-image CTF kernels go through the DFT-matmul path on the TPU
+    # bf16 route (likelihoods.ctf_apply_dft): XLA's depthwise conv runs at
+    # 0.44 TF/s there; the exact conv is kept for f32/CPU
+    use_dft = (ctf is not None and ctf.shape[-1] >= 32
+               and compute_dtype == jnp.bfloat16
+               and jax.default_backend() == "tpu")
+    return reconstruction_log_prob(
+        y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
+        dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw,
+        ctf_dft=use_dft)
+
+
 def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  y: jnp.ndarray, key: jax.Array,
                  ctf: Optional[jnp.ndarray] = None,
@@ -108,33 +179,15 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     if use_sp:
         from ..parallel.grid_softmax import make_joint_posterior
         mesh, axis = sp
-        ad = attn_dim_for(ecfg)
-        M = ad * ad
-        grid_np = np.asarray(attention_grid(ad, ecfg.image_dim))
-        p_t = _translation_log_prior(grid_np)
-        if ecfg.mode == "C":
-            R = ecfg.groupconv
-            sig_r = np.pi / R if R >= 1 else ecfg.theta_prior
-            # r-minor flatten of (H', W', R), matching the unsharded tier
-            grid_cells = jnp.asarray(np.repeat(grid_np, R, axis=0))
-            log_prior = (jnp.asarray(p_t)[:, None] + enc["p_r"]).reshape(-1)
-            offs_cells = jnp.tile(enc["offsets"], M)
-        else:
-            R = 1
-            sig_r = ecfg.theta_prior
-            grid_cells = jnp.asarray(grid_np)
-            log_prior = jnp.asarray(p_t)
-            offs_cells = jnp.zeros((M,), jnp.float32)
-        cells = M * R
+        cv = sp_cell_views(enc, ecfg, b)
+        cells, sig_r = cv["cells"], cv["sig_r"]
+        attn_flat, th_mu, th_ls = cv["attn"], cv["th_mu"], cv["th_ls"]
+        z_mu, z_ls = cv["z_mu"], cv["z_ls"]
+        log_prior, grid_cells, offs_cells = (
+            cv["log_prior"], cv["grid_cells"], cv["offs_cells"])
         nshard = dict(mesh.shape)[axis]
-        attn_flat = enc["attn"].reshape(b, cells).astype(jnp.float32)
         # same key+shape as the unsharded encoder's gumbel_softmax draw
         noise = jax.random.gumbel(k_enc, (b, cells), jnp.float32)
-        th_mu = enc["theta_mu"].reshape(b, cells).astype(jnp.float32)
-        th_ls = enc["theta_logstd"].reshape(b, cells).astype(jnp.float32)
-        z_mu = enc["z_mu"].reshape(b, cells, ecfg.z_dim).astype(jnp.float32)
-        z_ls = enc["z_logstd"].reshape(b, cells,
-                                       ecfg.z_dim).astype(jnp.float32)
         pad = (-cells) % nshard
         if pad:
             # shard_map needs even cell shards: pad with -1e30 logits. The
@@ -162,7 +215,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         z = z_std_e * jax.random.normal(k_z, (b, ecfg.z_dim)) + z_mu_e
         theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
         kl_div = jnp.mean(kl)
-        x_t = transform_coords(x_coord, dx, theta)
 
     elif ecfg.mode == "A":
         z_mu, z_logstd = enc["z_mu"], enc["z_logstd"]
@@ -181,7 +233,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         z_kl = -rest_logstd + 0.5 * rest_std ** 2 + 0.5 * rest_mu ** 2 - 0.5
         kl_div = jnp.mean(kl_theta + jnp.sum(z_kl, axis=1))
 
-        x_t = transform_coords(x_coord, dx, theta)
 
     elif (ecfg.mode == "B" and allow_kernels
           and _use_posterior_kernel(compute_dtype)):
@@ -210,7 +261,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  + post["theta_mu_e"])
         dx = post["dx"]
         kl_div = jnp.mean(post["kl"])
-        x_t = transform_coords(x_coord, dx, theta)
 
     elif ecfg.mode == "B":
         attn = enc["attn"].astype(jnp.float32)                    # (B, H', W')
@@ -232,7 +282,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         th_std_e = jnp.einsum("bm,bm->b", th_std, a_s)
         theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
 
-        x_t = transform_coords(x_coord, dx, theta)
 
         q_t = jax.nn.log_softmax(attn.reshape(b, -1), axis=1)     # (B, M)
         zg_mu, zg_std = guarded_moments(q_t[..., None], z_mu, z_std)
@@ -272,7 +321,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  + post["theta_mu_e"])
         dx = post["dx"]
         kl_div = jnp.mean(post["kl"])
-        x_t = transform_coords(x_coord, dx, theta)
 
     else:  # mode C
         R = ecfg.groupconv
@@ -297,7 +345,6 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         th_std_e = jnp.einsum("bm,bm->b", th_std, a_s)
         theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
 
-        x_t = transform_coords(x_coord, dx, theta)
 
         # joint prior p(t, r) = log_softmax(p_t + p_r) over all cells
         # (layout: (H, W, R) flattened; p_r varies along the R-minor axis)
@@ -319,27 +366,8 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         kl_div = jnp.mean(val1 + val2)
 
     # ---- reconstruction ----
-    if allow_kernels and _use_pose_decoder(gcfg, compute_dtype):
-        # pose-aware fused kernel: exploits the regular pixel grid to make the
-        # Fourier phase separable (kernels/decoder_pose.py) — the direct
-        # n^2 * F cos is the single most expensive op of the training step
-        from ..kernels.decoder_pose import fused_pose_decoder
-        y_hat = fused_pose_decoder(theta, dx, z, params["generator"], gcfg,
-                                   ecfg.image_dim)
-    else:
-        y_hat = generator_apply(params["generator"], gcfg, x_t,
-                                z if gcfg.z_dim > 0 else None,
-                                compute_dtype=compute_dtype)
-    # big per-image CTF kernels go through the DFT-matmul path on the TPU
-    # bf16 route (likelihoods.ctf_apply_dft): XLA's depthwise conv runs at
-    # 0.44 TF/s there; the exact conv is kept for f32/CPU
-    use_dft = (ctf is not None and ctf.shape[-1] >= 32
-               and compute_dtype == jnp.bfloat16
-               and jax.default_backend() == "tpu")
-    log_p = reconstruction_log_prob(
-        y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
-        dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw,
-        ctf_dft=use_dft)
-
+    log_p = reconstruct_log_prob(params, cfg, x_coord, y, theta, dx, z,
+                                 ctf=ctf, compute_dtype=compute_dtype,
+                                 allow_kernels=allow_kernels)
     elbo = log_p - kl_div
     return elbo, log_p, kl_div

@@ -126,6 +126,82 @@ def _posterior_block(axis, eps, sig_r,
     return z_mu_e, z_std_e, th_mu_e, th_std_e, dx, val1 + val2
 
 
+# ---------------------------------------------------------------------------
+# Pallas-composed SP posterior: per-shard kernel + cross-device LSE/psum
+# ---------------------------------------------------------------------------
+
+def _global_norms(logits: jnp.ndarray, axis: str):
+    """(gmax, g_log_sum) per image for a softmax whose cell axis is sharded
+    over `axis`. The pmax'd max is only a numerical shift (stop_gradient is
+    exact); the log-sum uses the cross-device psum — together the LSE of
+    sharded_log_softmax, exposed as per-image scalars for the kernel."""
+    lm = jnp.max(logits, axis=1, keepdims=True)
+    gmax = jax.lax.pmax(jax.lax.stop_gradient(lm), axis)
+    gsum = jax.lax.psum(
+        jnp.sum(jnp.exp(logits - gmax), axis=1, keepdims=True), axis)
+    return gmax, jnp.log(gsum)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def sp_posterior_kernel(axis, sig_r, zd, interpret,
+                        attn, noise, th, z, p, gx, gy, offs):
+    """The grid-sharded posterior with the per-shard Pallas kernel.
+
+    Runs INSIDE shard_map with the cell axis sharded over `axis`: each device
+    computes its local (B, C_local) shard's partial moments/KL with
+    kernels/posterior.posterior_shard_partials, normalized by the
+    cross-device LSE and combined by psum — SURVEY section 5's "Pallas
+    blockwise softmax" for the op at reference src/models.py:383-387.
+
+    attn/noise (B, C_local) f32 (noise: pre-drawn PER-SHARD Gumbel noise, not
+    differentiated); th (B, 2, C); z (B, 2, zd, C); p (C,) globally
+    log-softmaxed log-prior shard; gx/gy/offs (C,) per-cell constants.
+    C_local must be a multiple of 1024 (callers pad cells with -1e30 logits).
+
+    Returns (B, 2zd+5) [z_mu_e(zd), z_std_e(zd), th_mu_e, th_std_e, dx0, dx1,
+    kl], identical on every device of `axis`.
+    """
+    out, _ = _sp_post_fwd(axis, sig_r, zd, interpret,
+                          attn, noise, th, z, p, gx, gy, offs)
+    return out
+
+
+def _sp_post_fwd(axis, sig_r, zd, interpret,
+                 attn, noise, th, z, p, gx, gy, offs):
+    from ..kernels.posterior import posterior_shard_partials
+    mq, lq = _global_norms(attn, axis)
+    ma, la = _global_norms(attn + noise, axis)
+    norms = jnp.concatenate([mq, lq, ma, la], axis=1)            # (B, 4)
+    part = posterior_shard_partials(norms, attn, noise, th, z, p, gx, gy,
+                                    offs, sig_r=sig_r, zd=zd,
+                                    interpret=interpret)
+    out = jax.lax.psum(part, axis)
+    return out, (attn, noise, th, z, p, gx, gy, offs, norms)
+
+
+def _sp_post_bwd(axis, sig_r, zd, interpret, res, g):
+    from ..kernels.posterior import posterior_shard_partials
+    attn, noise, th, z, p, gx, gy, offs, norms = res
+    # out = psum(partials) is consumed locally on every device: the true
+    # cotangent of the local partials is the psum of the local cotangents
+    g_tot = jax.lax.psum(g, axis)
+    da, dq, dth, dz, spart = posterior_shard_partials(
+        norms, attn, noise, th, z, p, gx, gy, offs, sig_r=sig_r, zd=zd,
+        interpret=interpret, want_grads=True, g=g_tot)
+    s = jax.lax.psum(spart, axis)                                # (B, 2)
+    # softmax / log_softmax vjps with the GLOBAL sums; a and exp(q) are
+    # elementwise recomputes from the saved normalizers
+    a = jnp.exp(attn + noise - norms[:, 2:3] - norms[:, 3:4])
+    eq = jnp.exp(attn - norms[:, 0:1] - norms[:, 1:2])
+    d_attn = a * (da - s[:, 0:1]) + dq - eq * s[:, 1:2]
+    zero = jnp.zeros_like
+    return (d_attn, zero(noise), dth, dz, zero(p), zero(gx), zero(gy),
+            zero(offs))
+
+
+sp_posterior_kernel.defvjp(_sp_post_fwd, _sp_post_bwd)
+
+
 def make_joint_posterior(mesh: Mesh, axis: str = "model",
                          data_axis: str = "data",
                          eps: float = 1e-6, sig_r: float = 1.0):

@@ -107,6 +107,15 @@ class Trainer:
     # kept as an alias: tests/docs reference the DP-era name
     _use_dp_shardmap = _use_mesh_shardmap
 
+    def _use_sp_shardmap(self) -> bool:
+        """--sp with the kernels live (_loss_fn_sp): needs a model axis to
+        shard cells over and an attention mode."""
+        if not (self._sp and self._mesh is not None
+                and self._kernels_would_engage()):
+            return False
+        return (dict(self._mesh.shape).get("model", 1) > 1
+                and self.model.cfg.encoder.mode in ("B", "C"))
+
     # -- core loss/step ----------------------------------------------------
     def _sp_ctx(self, batch_size: int):
         """(mesh, 'model') when the grid-sharded posterior applies: --sp on,
@@ -122,9 +131,12 @@ class Trainer:
     def _loss_fn(self, params, y, key, ctf):
         # ragged tail batches can't split evenly across shards: they take the
         # GSPMD/XLA path (kernels off) while full batches keep the kernels
-        if (self._use_mesh_shardmap()
-                and y.shape[0] % self._mesh.size == 0):
+        even = (self._mesh is not None
+                and y.shape[0] % self._mesh.size == 0)
+        if even and self._use_mesh_shardmap():
             return self._loss_fn_dp(params, y, key, ctf)
+        if even and self._use_sp_shardmap():
+            return self._loss_fn_sp(params, y, key, ctf)
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
                                        compute_dtype=self.compute_dtype,
@@ -161,6 +173,116 @@ class Trainer:
             return (jax.lax.pmean(-elbo, axes),
                     (jax.lax.pmean(log_p, axes),
                      jax.lax.pmean(kl, axes)))
+
+        sm = shard_map(
+            local, mesh=self._mesh,
+            in_specs=(P(), P(axes), P(axes) if ctf is not None else P(),
+                      P()),
+            out_specs=(P(), (P(), P())), **extra)
+        return sm(params, y, ctf, key)
+
+    def _loss_fn_sp(self, params, y, key, ctf):
+        """--sp composed with the fused kernels (Ulysses-style SP).
+
+        Encoder and decoder run on batch shards over BOTH mesh axes with the
+        Pallas kernels live (like _loss_fn_dp); an all_to_all over 'model'
+        re-shards the posterior inputs from batch-split to cell-split; the
+        per-shard Pallas posterior kernel emits local partials combined with
+        the cross-device LSE/psum (parallel/grid_softmax.sp_posterior_kernel
+        — SURVEY section 5's "Pallas blockwise softmax"). The psum'd moments
+        come back replicated over 'model'; each rank slices its own batch
+        rows back out for the decoder, so rows stay aligned with its local
+        y/ctf shards."""
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+            extra = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            extra = {"check_rep": False}
+        from ..losses.elbo import reconstruct_log_prob, sp_cell_views
+        from ..models.encoders import encoder_apply
+        from ..parallel.grid_softmax import (sharded_log_softmax,
+                                             sp_posterior_kernel)
+
+        cfg = self.model.cfg
+        ecfg = cfg.encoder
+        zd = ecfg.z_dim
+        axes = ("data", "model")
+        T = dict(self._mesh.shape)["model"]
+
+        def local(params, y, ctf, key):
+            b_l = y.shape[0]
+            d_idx = jax.lax.axis_index("data")
+            t_idx = jax.lax.axis_index("model")
+            # fold with the data index only: draws below must be identical
+            # across 'model' ranks (the moments they scale are replicated)
+            k = jax.random.fold_in(key, d_idx)
+            k_noise, k_z, k_theta = jax.random.split(k, 3)
+
+            enc = encoder_apply(params["encoder"], ecfg, y, None,
+                                compute_dtype=self.compute_dtype,
+                                allow_kernels=True, skip_posterior=True)
+            cv = sp_cell_views(enc, ecfg, b_l)
+            cells = cv["cells"]
+            # pad so every local shard is a multiple of 1024 (the SP kernel's
+            # tiling unit); -1e30 pads carry exactly-zero posterior mass
+            ct = -(-cells // (T * 1024)) * (T * 1024)
+            pad = ct - cells
+            attn, th_mu, th_ls = cv["attn"], cv["th_mu"], cv["th_ls"]
+            z_mu, z_ls = cv["z_mu"], cv["z_ls"]
+            log_prior, grid_cells, offs_cells = (
+                cv["log_prior"], cv["grid_cells"], cv["offs_cells"])
+            if pad:
+                attn = jnp.pad(attn, ((0, 0), (0, pad)),
+                               constant_values=-1e30)
+                th_mu = jnp.pad(th_mu, ((0, 0), (0, pad)))
+                th_ls = jnp.pad(th_ls, ((0, 0), (0, pad)))
+                z_mu = jnp.pad(z_mu, ((0, 0), (0, pad), (0, 0)))
+                z_ls = jnp.pad(z_ls, ((0, 0), (0, pad), (0, 0)))
+                log_prior = jnp.pad(log_prior, (0, pad),
+                                    constant_values=-1e30)
+                grid_cells = jnp.pad(grid_cells, ((0, pad), (0, 0)))
+                offs_cells = jnp.pad(offs_cells, (0, pad))
+
+            # batch-split -> cell-split over 'model' (Ulysses exchange)
+            a2a = lambda v: jax.lax.all_to_all(v, "model", split_axis=1,
+                                               concat_axis=0, tiled=True)
+            attn, th_mu, th_ls = a2a(attn), a2a(th_mu), a2a(th_ls)
+            z_mu, z_ls = a2a(z_mu), a2a(z_ls)
+            c_loc = ct // T
+            bd = b_l * T          # rows now = the data-shard's full batch
+            sl = lambda v: jax.lax.dynamic_slice_in_dim(
+                v, t_idx * c_loc, c_loc, 0)
+            p_loc = sharded_log_softmax(sl(log_prior)[None, :], "model")[0]
+            gxy = sl(grid_cells)
+            offs_loc = sl(offs_cells)
+            noise = jax.random.gumbel(jax.random.fold_in(k_noise, t_idx),
+                                      (bd, c_loc), jnp.float32)
+            th = jnp.stack([th_mu, th_ls], axis=1)              # (bd, 2, C)
+            zst = jnp.stack([jnp.transpose(z_mu, (0, 2, 1)),
+                             jnp.transpose(z_ls, (0, 2, 1))],
+                            axis=1)                             # (bd,2,zd,C)
+            out = sp_posterior_kernel(
+                "model", cv["sig_r"], zd, False,
+                attn, noise, th, zst, p_loc, gxy[:, 0], gxy[:, 1], offs_loc)
+            z = (out[:, zd:2 * zd] * jax.random.normal(k_z, (bd, zd))
+                 + out[:, :zd])
+            theta = (out[:, 2 * zd + 1] * jax.random.normal(k_theta, (bd,))
+                     + out[:, 2 * zd])
+            dx = out[:, 2 * zd + 2:2 * zd + 4]
+            kl = out[:, 2 * zd + 4]
+            # slice this rank's own batch rows back out (row s*b_l + r of the
+            # all_to_all result is source rank s's local row r)
+            row = lambda v: jax.lax.dynamic_slice_in_dim(
+                v, t_idx * b_l, b_l, 0)
+            log_p = reconstruct_log_prob(
+                params, cfg, self._x_coord, y, row(theta), row(dx), row(z),
+                ctf=ctf, compute_dtype=self.compute_dtype, allow_kernels=True)
+            kl_div = jnp.mean(row(kl))
+            return (jax.lax.pmean(kl_div - log_p, axes),
+                    (jax.lax.pmean(log_p, axes),
+                     jax.lax.pmean(kl_div, axes)))
 
         sm = shard_map(
             local, mesh=self._mesh,

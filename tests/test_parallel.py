@@ -154,6 +154,12 @@ def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
     import targetvae_tpu.kernels.posterior as PK
     import targetvae_tpu.models.encoders as EN
 
+    model = _model()
+    # init params BEFORE patching the noise: the test model uses
+    # fourier_expansion, whose W init is jax.random.normal (ops/fourier.py) —
+    # patching first would degenerate the generator (ADVICE r2)
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+
     # zero all sampling noise so shard-index key folds cannot matter
     monkeypatch.setattr(
         jax.random, "normal",
@@ -163,13 +169,12 @@ def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
         lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
     monkeypatch.setattr(
         EN, "gumbel_softmax",
-        lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits, axis=axis))
-
-    model = _model()
+        lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits / tau,
+                                                             axis=axis))
 
     def run(trainer, mesh=None):
         y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
-        state = trainer.init_state(0)
+        state = state0
         if mesh is not None:
             trainer.attach_mesh(mesh)
             state = shard_state(mesh, state)
@@ -262,3 +267,160 @@ def test_sp_particles_ctf_step_matches_single_device():
     assert np.isfinite(np.asarray(m_sp)).all()
     np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_sp),
                                rtol=2e-4, atol=1e-3)
+
+
+def test_sp_mesh_takes_pallas_kernel_path(monkeypatch):
+    """VERDICT r2 #3 done-criterion: --sp on a ('data','model') mesh must
+    keep every fused kernel live — the encoder lift, the pose decoder, and
+    the per-shard SP posterior kernel (train/loop.py::_loss_fn_sp) — and the
+    sharded step must match the unsharded kernel step numerically."""
+    import targetvae_tpu.kernels.decoder_pose as DP
+    import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.posterior as PK
+    import targetvae_tpu.models.encoders as EN
+
+    model = _model()
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+
+    # zero all sampling noise (params already initialized above)
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        EN, "gumbel_softmax",
+        lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits / tau,
+                                                             axis=axis))
+
+    calls = {"lift": 0, "posterior": 0, "decoder": 0, "sp_post": 0}
+    orig = (LE.fused_lifted_encoder, PK.fused_posterior,
+            DP.fused_pose_decoder, PK.posterior_shard_partials)
+
+    def lift(*a, **kw):
+        calls["lift"] += 1
+        kw["interpret"] = True
+        return orig[0](*a, **kw)
+
+    def post(*a, **kw):
+        calls["posterior"] += 1
+        kw["interpret"] = True
+        kw["deterministic"] = True
+        return orig[1](*a, **kw)
+
+    def dec(*a, **kw):
+        calls["decoder"] += 1
+        kw["interpret"] = True
+        return orig[2](*a, **kw)
+
+    def sp_post(*a, **kw):
+        calls["sp_post"] += 1
+        kw["interpret"] = True
+        return orig[3](*a, **kw)
+
+    monkeypatch.setattr(LE, "fused_lifted_encoder", lift)
+    monkeypatch.setattr(PK, "fused_posterior", post)
+    monkeypatch.setattr(DP, "fused_pose_decoder", dec)
+    monkeypatch.setattr(PK, "posterior_shard_partials", sp_post)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
+
+    single = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                        compute_dtype="bfloat16"))
+    _, m_single = jax.jit(single._step_impl)(state0, y)
+    m_single = np.asarray(jax.device_get(m_single))
+    base = dict(calls)
+    assert base["lift"] > 0 and base["posterior"] > 0 and base["decoder"] > 0
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=4, tp=2,
+                                       sp=True, compute_dtype="bfloat16"))
+    sp_tr.attach_mesh(mesh)
+    assert sp_tr._use_sp_shardmap()
+    s1 = shard_state(mesh, state0)
+    ys, _ = shard_batch(mesh, y)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys)
+    m_sp = np.asarray(jax.device_get(m_sp))
+
+    d = {k: calls[k] - base[k] for k in calls}
+    assert d["lift"] > 0 and d["decoder"] > 0 and d["sp_post"] > 0, d
+    assert d["posterior"] == 0, d   # SP uses the per-shard kernel instead
+
+    assert np.isfinite(m_sp).all()
+    np.testing.assert_allclose(m_single, m_sp, rtol=2e-3, atol=0.05)
+
+
+@pytest.mark.parametrize("nshard", [3, 5, 7])
+@pytest.mark.parametrize("mode", ["B", "C"])
+def test_sp_padding_property(nshard, mode):
+    """VERDICT r2 #6: the -1e30 SP cell padding (losses/elbo.py) must be
+    exact for shard counts that never divide the grid — 3/5/7-way model
+    axes, mode B's 17x17 grid (289 cells) and a padding mode-C grid (484
+    cells)."""
+    if mode == "B":
+        ecfg = EncoderConfig(t_inf="attention", r_inf="unimodal",
+                             image_dim=16, z_dim=2, kernels_num=8,
+                             groupconv=0)
+        cells = 17 * 17
+        d = 16
+    else:
+        ecfg = EncoderConfig(image_dim=10, z_dim=2, kernels_num=8,
+                             kernels_size=4, padding=2, groupconv=4)
+        cells = 11 * 11 * 4
+        d = 10
+    assert cells % nshard != 0
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=1,
+                        fourier_expansion=False),
+        ecfg, LikelihoodConfig()))
+
+    y = jax.random.uniform(jax.random.key(1), (3, d, d, 1))
+    plain = Trainer(model, TrainConfig(learning_rate=1e-3))
+    _, m_single = plain._train_step(plain.init_state(0), y)
+
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=1, tp=nshard,
+                                       sp=True))
+    mesh = make_mesh(jax.devices()[:nshard], data=1, model=nshard)
+    sp_tr.attach_mesh(mesh)
+    s1 = shard_state(mesh, sp_tr.init_state(0))
+    ys, _ = shard_batch(mesh, y)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys)
+
+    assert np.isfinite(np.asarray(m_sp)).all()
+    np.testing.assert_allclose(np.asarray(m_single), np.asarray(m_sp),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_sp_gradient_equality_padded_mode_c():
+    """VERDICT r2 #6: parameter GRADIENTS (not just step metrics) of the SP
+    path must equal the unsharded path on a mode-C grid that pads (484 cells
+    over a 3-way model axis)."""
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32, num_layers=1,
+                        fourier_expansion=False),
+        EncoderConfig(image_dim=10, z_dim=2, kernels_num=8, kernels_size=4,
+                      padding=2, groupconv=4),
+        LikelihoodConfig()))
+    y = jax.random.uniform(jax.random.key(1), (4, 10, 10, 1))
+    key = jax.random.key(3)
+
+    plain = Trainer(model, TrainConfig(learning_rate=1e-3))
+    params = plain.init_state(0).params
+    g0 = jax.grad(lambda p: plain._loss_fn(p, y, key, None)[0])(params)
+
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2, tp=3,
+                                       sp=True))
+    mesh = make_mesh(jax.devices()[:6], data=2, model=3)
+    sp_tr.attach_mesh(mesh)
+    assert sp_tr._sp_ctx(4) == (mesh, "model")
+    g1 = jax.grad(lambda p: sp_tr._loss_fn(p, y, key, None)[0])(params)
+
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, a in flat0:
+        b = flat1[path]
+        assert np.isfinite(np.asarray(b)).all(), path
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(path))
