@@ -424,3 +424,86 @@ def test_sp_gradient_equality_padded_mode_c():
         assert np.isfinite(np.asarray(b)).all(), path
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6, err_msg=str(path))
+
+
+# ---------------------------------------------------------------------------
+# compiled-HLO structural assertions (VERDICT r2 #5): with no multi-chip
+# hardware attached, the compiled module is the available instrument for
+# multi-chip PERFORMANCE sanity — assert the collectives the design promises
+# ---------------------------------------------------------------------------
+
+def _collective_shapes(hlo: str, op: str):
+    """[(dtype, shape, element_count)] for every result (tuple results are
+    flattened) of every `op` instruction in the compiled module text."""
+    import re
+    out = []
+    for m in re.finditer(r"= (\(.*?\)|\S+) " + op + r"\(", hlo):
+        for t in re.finditer(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            dims = [int(x) for x in t.group(2).split(",") if x]
+            n = 1
+            for d in dims:
+                n *= d
+            out.append((t.group(1), dims, n))
+    return out
+
+
+@pytest.mark.parametrize("dp,tp", [(4, 2), (8, 1)])
+def test_multichip_hlo_collective_structure(dp, tp):
+    """The compiled sharded train step must (a) never all-gather the full
+    batch or the lifted activation tensor, (b) psum gradients (all-reduce
+    present), (c) keep total all-gather traffic bounded by the TP param
+    boundary the design claims (train/loop.py:38-45)."""
+    model = _model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, dp=dp, tp=tp))
+    mesh = make_mesh(jax.devices()[:8], data=dp, model=tp)
+    trainer.attach_mesh(mesh)
+    state = shard_state(mesh, trainer.init_state(0))
+    y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
+    ys, _ = shard_batch(mesh, y)
+    hlo = jax.jit(trainer._step_impl).lower(state, ys).compile().as_text()
+
+    # the lifted activation at FULL batch: B*H'*W'*R*K = 16*16*16*4*32
+    full_lift = 16 * 16 * 16 * 4 * 32
+
+    # (a) nothing batch-replicated: no all-gather may materialize the
+    # full-batch lift tensor (or anything at that scale) on one device.
+    # What IS allowed — and measured — are per-DATA-shard Megatron-style
+    # boundaries in the backward (B/dp-scale activations gathered over
+    # 'model' for TP weight grads, ~131k elements here, plus the
+    # param-scale rotated filter bank).
+    gathers = _collective_shapes(hlo, "all-gather")
+    for dtype, dims, n in gathers:
+        assert n <= full_lift // dp, (dtype, dims, n)
+
+    # (b) gradient psums exist (XLA lowers them as all-reduce; at dp>1 the
+    # grads MUST cross 'data')
+    reduces = _collective_shapes(hlo, "all-reduce")
+    assert len(reduces) > 0, "no all-reduce in the sharded step"
+
+    # (c) total all-gather traffic stays at the per-shard-activation scale:
+    # a few TP boundaries, never a batch-scale re-replication
+    total_gathered = sum(n for _, _, n in gathers)
+    assert total_gathered <= 5 * (full_lift // dp), (total_gathered,
+                                                     full_lift // dp)
+
+
+def test_multichip_hlo_sp_collective_structure():
+    """Same structural assertions for the --sp (grid-sharded posterior)
+    step on a 2x4 mesh, plus: the joint-cell reductions must ride psums
+    (all-reduce), not a gather of the full cell axis."""
+    model = _model()
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2, tp=4,
+                                         sp=True))
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    trainer.attach_mesh(mesh)
+    state = shard_state(mesh, trainer.init_state(0))
+    y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
+    ys, _ = shard_batch(mesh, y)
+    hlo = jax.jit(trainer._step_impl).lower(state, ys).compile().as_text()
+
+    full_lift = 16 * 16 * 16 * 4 * 32
+    for dtype, dims, n in _collective_shapes(hlo, "all-gather"):
+        # per-data-shard TP boundaries only — never the full-batch lift or
+        # a re-replicated joint posterior grid
+        assert n <= full_lift // 2, (dtype, dims, n)
+    assert len(_collective_shapes(hlo, "all-reduce")) > 0
