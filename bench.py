@@ -105,6 +105,12 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2) if baseline else None,
+        # vs_baseline is TPU-chip vs the PyTorch reference on this HOST CPU
+        # (the only hardware it can run on here) — it is NOT the BASELINE
+        # north-star ratio (>=5x A100-PyTorch), which cannot be measured
+        # from this machine. Do not quote it as such (BENCH_NOTES.md).
+        "vs_baseline_hw": "pytorch reference on host CPU "
+                          "(no A100 attached; not the A100 north-star)",
         "tflops_per_step": round(fl / 1e12, 3),
         "mfu": round(mfu(fl, step_s), 4),
         "mfu_peak_tflops": V5E_BF16_PEAK / 1e12,

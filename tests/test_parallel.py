@@ -507,3 +507,93 @@ def test_multichip_hlo_sp_collective_structure():
         # a re-replicated joint posterior grid
         assert n <= full_lift // 2, (dtype, dims, n)
     assert len(_collective_shapes(hlo, "all-reduce")) > 0
+
+
+def test_sp_mesh_kernel_path_mode_b_with_ctf(monkeypatch):
+    """The kernel-SP path (_loss_fn_sp) composed with mode B's fast tier AND
+    the gaussian+CTF+mask likelihood — every fused kernel stays live and the
+    step matches the unsharded kernel step."""
+    import pandas as pd
+
+    import targetvae_tpu.kernels.decoder_pose as DP
+    import targetvae_tpu.kernels.mix_heads as MH
+    import targetvae_tpu.kernels.posterior as PK
+    from targetvae_tpu.data.ctf import CTF_COLUMNS, ctf_filter
+
+    d = 16
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=64, num_layers=2,
+                        fourier_expansion=True, fourier_sigma=2.0 / (d - 1)),
+        EncoderConfig(t_inf="attention", r_inf="unimodal", image_dim=d,
+                      z_dim=2, kernels_num=32, groupconv=0),
+        LikelihoodConfig(kind="gaussian", use_ctf=True, mask_radius=6)))
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    calls = {"mix_heads": 0, "decoder": 0, "sp_post": 0, "posterior": 0}
+    orig = (MH.fused_lift_act_mix_heads, DP.fused_pose_decoder,
+            PK.posterior_shard_partials, PK.fused_posterior)
+
+    def mh(*a, **kw):
+        calls["mix_heads"] += 1
+        kw["interpret"] = True
+        return orig[0](*a, **kw)
+
+    def dec(*a, **kw):
+        calls["decoder"] += 1
+        kw["interpret"] = True
+        return orig[1](*a, **kw)
+
+    def sp_post(*a, **kw):
+        calls["sp_post"] += 1
+        kw["interpret"] = True
+        return orig[2](*a, **kw)
+
+    def post(*a, **kw):
+        calls["posterior"] += 1
+        kw["interpret"] = True
+        kw["deterministic"] = True
+        return orig[3](*a, **kw)
+
+    monkeypatch.setattr(MH, "fused_lift_act_mix_heads", mh)
+    monkeypatch.setattr(DP, "fused_pose_decoder", dec)
+    monkeypatch.setattr(PK, "posterior_shard_partials", sp_post)
+    monkeypatch.setattr(PK, "fused_posterior", post)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(8, d, d, 1).astype(np.float32))
+    cp = pd.DataFrame([[1.5, 2.7, 300, 1.2, 100, 10, 0.2, 30]] * 8,
+                      columns=CTF_COLUMNS)
+    ctf = jnp.asarray(ctf_filter(cp, d - 1, d - 1))
+
+    single = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                        compute_dtype="bfloat16"))
+    _, m_single = jax.jit(single._step_impl)(state0, y, ctf)
+    m_single = np.asarray(jax.device_get(m_single))
+    base = dict(calls)
+    assert base["mix_heads"] > 0 and base["posterior"] > 0, base
+
+    mesh = make_mesh(jax.devices()[:8], data=2, model=4)
+    sp_tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=2, tp=4,
+                                       sp=True, compute_dtype="bfloat16"))
+    sp_tr.attach_mesh(mesh)
+    assert sp_tr._use_sp_shardmap()
+    s1 = shard_state(mesh, state0)
+    ys, ctfs = shard_batch(mesh, y, ctf)
+    _, m_sp = jax.jit(sp_tr._step_impl)(s1, ys, ctfs)
+    m_sp = np.asarray(jax.device_get(m_sp))
+
+    diff = {k: calls[k] - base[k] for k in calls}
+    assert diff["mix_heads"] > 0 and diff["decoder"] > 0, diff
+    assert diff["sp_post"] > 0, diff
+    assert diff["posterior"] == 0, diff
+
+    assert np.isfinite(m_sp).all()
+    np.testing.assert_allclose(m_single, m_sp, rtol=2e-3, atol=0.05)
