@@ -155,8 +155,10 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     allow_kernels=False forces the pure-XLA paths: pallas_call custom calls
     cannot be partitioned by GSPMD. Under a mesh the Trainer instead calls
     this per-shard inside shard_map with allow_kernels=True (batch split
-    over both mesh axes), falling back to the sharded XLA tiers only for
-    ragged tail batches and --sp runs.
+    over both mesh axes; --sp runs its own kernel shard_map,
+    train/loop.py::_loss_fn_sp), falling back to the sharded XLA tiers only
+    for ragged tail batches (and the GSPMD --sp branch below when the
+    kernels cannot engage).
 
     sp: None, or a (mesh, axis_name) pair enabling the grid-sharded
     posterior (sequence parallelism over the joint R*H'*W' cell axis,

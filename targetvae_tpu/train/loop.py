@@ -36,13 +36,15 @@ class Trainer:
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16" else None)
         # pallas_call custom calls cannot be partitioned by GSPMD. On any
-        # mesh the loss can instead run per-shard inside shard_map
+        # mesh the loss instead runs per-shard inside shard_map
         # (attach_mesh) so every Pallas kernel still fires on its local
         # batch slice: the batch is split over BOTH mesh axes and the
         # TP-sharded params are all-gathered at the loss boundary (~3M
         # params — a few MB over ICI, amortized against the kernels' step
-        # win). Outside shard_map (ragged tails, --sp) the numerically
-        # equivalent XLA tiers run and shard cleanly under GSPMD.
+        # win). --sp gets its own kernel shard_map path (_loss_fn_sp:
+        # all_to_all batch<->cell re-sharding around the per-shard Pallas
+        # posterior). Only ragged tail batches fall back to the numerically
+        # equivalent XLA tiers under GSPMD.
         self._allow_kernels = (train_cfg.dp * train_cfg.tp) <= 1
         self._sp = bool(getattr(train_cfg, "sp", False))
         self._mesh = None
