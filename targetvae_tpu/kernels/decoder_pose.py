@@ -105,19 +105,28 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
         if save_res:
             hs_refs[l + 1][0, 0] = h
     if len(y_ref.shape) == 3:
-        # n_out == 1 rides a lane-major (B, nt, tr*n) output: a trailing
-        # unit dim would be tiled (8, 128) -> 128x lane padding (155 MB
-        # physical for 48 MB of pixels at EMPIAR scale, +0.8 ms repack).
-        # The block covers all nt rows (pallas wants last-two block dims
-        # (8,128)-divisible or full) and stays VMEM-resident per image.
-        # The row is produced DIRECTLY as (1, px) by contracting w3 against
-        # h's H axis — a (px, 1) dot output would need a sublane<->lane
-        # relayout (69 near-empty (8,128) tiles at px=550, ~1 ms/step).
-        y_row = jax.lax.dot_general(
+        # small n_out rides a lane-major (B, n_out*nt, tr*n) output: a
+        # trailing n_out dim would be tiled (8, 128) -> 128/n_out x lane
+        # padding (155 MB physical for 48 MB of pixels at EMPIAR scale for
+        # n_out=1, ~43x for galaxy's RGB 3, +repack). The block covers all
+        # n_out*nt rows (pallas wants last-two block dims (8,128)-divisible
+        # or full) and stays VMEM-resident per image. The rows are produced
+        # DIRECTLY as (n_out, px) by contracting w3 against h's H axis — a
+        # (px, n_out) dot output would need a sublane<->lane relayout (69
+        # near-empty (8,128) tiles at px=550, ~1 ms/step). b3 arrives
+        # (n_out, 1) here (broadcast over px). Channels live in SEPARATE
+        # row PLANES (row c*nt + t): Mosaic proves single-row stores at any
+        # dynamic sublane offset, but rejects multi-row stores at t*n_out
+        # ("index in dimension 1 is a multiple of 4" — measured on v5e).
+        C = w3_ref.shape[1]
+        y_rows = jax.lax.dot_general(
             w3_ref[...], h, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (1, px)
+            preferred_element_type=jnp.float32)          # (n_out, px)
+        yb = y_rows + b3_ref[...]
         t_idx = pl.program_id(1)
-        y_ref[0, pl.ds(t_idx, 1)] = y_row + b3_ref[...]
+        nt = pl.num_programs(1)
+        for c in range(C):
+            y_ref[0, pl.ds(c * nt + t_idx, 1)] = yb[c:c + 1]
     else:
         y = jnp.dot(h, w3_ref[...], preferred_element_type=jnp.float32)
         y_ref[0, 0] = y + b3_ref[...]
@@ -128,7 +137,7 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
                 hp_rows: int, L: int, act_kind: str, lane_major: bool):
     hs_refs = rest_refs[:L + 1]      # bf16 activations saved by the forward
     rest_refs = rest_refs[L + 1:]
-    if lane_major:                   # n_out == 1 (see _specs): +identity
+    if lane_major:                   # small n_out (see _specs): +identity
         eye_ref, rest_refs = rest_refs[0], rest_refs[1:]
     (dfx_ref, dfy_ref, dfc_ref, dhz_ref, dw1_ref, db1_ref,
      dwh_ref, dbh_ref, dw3_ref, db3_ref) = rest_refs
@@ -148,13 +157,19 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     hs16 = [hs_refs[i][0, 0] for i in range(L + 1)]
 
     if lane_major:
-        # (1, px) -> (px, 1) via an MXU identity contraction: a reshape
-        # here is a sublane<->lane relayout (69 near-empty (8,128) tiles
-        # at px=550, ~1 ms/step of VPU shuffles); the matmul is 0.3 MFLOP
-        g_row = g_ref[0, pl.ds(t_idx, 1)]               # (1, px)
+        # (n_out, px) -> (px, n_out) via an MXU identity contraction: a
+        # reshape/transpose here is a sublane<->lane relayout (69 near-empty
+        # (8,128) tiles at px=550, ~1 ms/step of VPU shuffles); the matmul
+        # is n_out * 0.3 MFLOP. Channel planes (row c*nt + t) mirror the
+        # forward's store layout — single-row dynamic-offset reads only.
+        C = w3_ref.shape[1]
+        nt = pl.num_programs(1)
+        g_rows = jnp.concatenate(
+            [g_ref[0, pl.ds(c * nt + t_idx, 1)] for c in range(C)],
+            axis=0) if C > 1 else g_ref[0, pl.ds(t_idx, 1)]  # (n_out, px)
         g = jax.lax.dot_general(
-            eye_ref[...], g_row, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (px, 1)
+            eye_ref[...], g_rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (px, n_out)
     else:
         g = g_ref[0, 0]                                 # (tr*n, n_out)
     pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
@@ -288,12 +303,23 @@ def _specs(B, nt, tr, n, F, H, L, n_out, rows_padded):
         "bh": pl.BlockSpec((L, 1, H), lambda b, t: (0, 0, 0)),
         "w3": pl.BlockSpec((H, n_out), lambda b, t: (0, 0)),
         "b3": pl.BlockSpec((1, n_out), lambda b, t: (0, 0)),
-        # n_out == 1 drops the trailing unit dim (see _fwd_kernel): a
-        # (…, tr*n, 1) block would pad 1 lane to 128 in the HBM tiling
-        "y": (pl.BlockSpec((1, nt, tr * n), lambda b, t: (b, 0, 0))
-              if n_out == 1 else
+        # lane-major fwd bias: (n_out, 1), broadcast over px in-kernel
+        "b3_in": (pl.BlockSpec((n_out, 1), lambda b, t: (0, 0))
+                  if _lane_major(n_out) else
+                  pl.BlockSpec((1, n_out), lambda b, t: (0, 0))),
+        # small n_out drops the trailing channel dim (see _fwd_kernel): a
+        # (…, tr*n, n_out) block would pad n_out lanes to 128 in the HBM
+        # tiling; channels ride the row axis as nt-row planes (row c*nt + t)
+        "y": (pl.BlockSpec((1, nt * n_out, tr * n), lambda b, t: (b, 0, 0))
+              if _lane_major(n_out) else
               pl.BlockSpec((1, 1, tr * n, n_out), lambda b, t: (b, t, 0, 0))),
     }
+
+
+def _lane_major(n_out: int) -> bool:
+    """Channels ride the row axis for any n_out small enough that lane
+    padding would dominate (covers 1 grayscale / 2 fit-noise / 3 RGB)."""
+    return n_out <= 8
 
 
 def _stack_hidden(w2, b2):
@@ -314,29 +340,31 @@ def _fwd(u, v, p4, q4, hz, w1, b1, w2, b2, w3, b3, *, n, tr, act_kind,
     wh, bh = _stack_hidden(w2, b2)
     h_spec = pl.BlockSpec((1, 1, tr * n, H), lambda b, t: (b, t, 0, 0))
     h_shape = jax.ShapeDtypeStruct((B, nt, tr * n, H), jnp.bfloat16)
-    y_shape = (jax.ShapeDtypeStruct((B, nt, tr * n), jnp.float32)
-               if n_out == 1 else
+    lane_major = _lane_major(n_out)
+    y_shape = (jax.ShapeDtypeStruct((B, nt * n_out, tr * n), jnp.float32)
+               if lane_major else
                jax.ShapeDtypeStruct((B, nt, tr * n, n_out), jnp.float32))
     out_specs = sp["y"] if not save_res else (
         (sp["y"],) + (h_spec,) * (L + 1))
     out_shape = (y_shape if not save_res else
                  (y_shape,) + (h_shape,) * (L + 1))
+    b3_arg = (b3.reshape(n_out, 1) if lane_major else b3.reshape(1, n_out))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, n=n, tr=tr, L=L, act_kind=act_kind,
                           save_res=save_res),
         grid=(B, nt),
         in_specs=[sp["u"], sp["v"], sp["p"], sp["q"], sp["hz"], sp["w1"],
-                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["b3"]],
+                  sp["b1"], sp["wh"], sp["bh"], sp["w3"], sp["b3_in"]],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            # n_out==1: the y block is revisited across t (rows written one
-            # tile at a time into the per-image resident block)
+            # lane-major: the y block is revisited across t (rows written
+            # n_out at a time into the per-image resident block)
             dimension_semantics=("parallel",
-                                 "arbitrary" if n_out == 1 else "parallel")),
+                                 "arbitrary" if lane_major else "parallel")),
         interpret=interpret,
     )(u, v, p4, q4, hz, w1.astype(jnp.bfloat16), b1.reshape(1, H),
-      wh, bh, w3.astype(jnp.bfloat16), b3.reshape(1, n_out))
+      wh, bh, w3.astype(jnp.bfloat16), b3_arg)
 
 
 def _bwd(res, g, *, n, tr, act_kind, interpret):
@@ -363,7 +391,7 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
         jax.ShapeDtypeStruct((H, n_out), jnp.float32),
         jax.ShapeDtypeStruct((1, n_out), jnp.float32),
     )
-    lane_major = n_out == 1
+    lane_major = _lane_major(n_out)
     eye_in, eye_args = [], []
     if lane_major:
         px = tr * n
@@ -506,7 +534,11 @@ def fused_pose_decoder(theta, dx, z, params, cfg, image_dim: int,
                tuple(h["w"] for h in params["hidden"]),
                tuple(h["b"] for h in params["hidden"]),
                params["out"]["w"], params["out"]["b"])
-    if y.ndim == 3:                 # n_out == 1 lane-major layout (_specs)
-        return y.reshape(B, rows_padded * n)[:, :n * n, None]
+    if y.ndim == 3:                 # lane-major layout (_specs): rows carry
+        C = y.shape[1] // nt        # the n_out channels as nt-row planes
+        if C == 1:
+            return y.reshape(B, rows_padded * n)[:, :n * n, None]
+        y = y.reshape(B, C, rows_padded * n)
+        return jnp.transpose(y, (0, 2, 1))[:, :n * n, :]
     n_out = y.shape[-1]
     return y.reshape(B, rows_padded * n, n_out)[:, :n * n, :]

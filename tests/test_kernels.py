@@ -121,9 +121,12 @@ def test_encoder_kernel_bwd_parity(enc_setup, interpret_encoder):
         assert rel < 0.05, (path, rel)
 
 
-@pytest.mark.parametrize("num_layers", [2, 4])
-def test_pose_decoder_parity(num_layers):
-    """Separable-phase pose decoder == transform_coords + generator_apply."""
+@pytest.mark.parametrize("num_layers,n_out", [(2, 1), (4, 1), (2, 2),
+                                              (2, 3)])
+def test_pose_decoder_parity(num_layers, n_out):
+    """Separable-phase pose decoder == transform_coords + generator_apply
+    (n_out 1/2/3 = grayscale / fit-noise / RGB; all ride the lane-major
+    row-channel output layout)."""
     from targetvae_tpu.kernels.decoder_pose import fused_pose_decoder
     from targetvae_tpu.models.generator import generator_apply, generator_init
     from targetvae_tpu.ops.coords import image_grid, transform_coords
@@ -131,7 +134,8 @@ def test_pose_decoder_parity(num_layers):
 
     n, zd = 18, 2
     cfg = GeneratorConfig(z_dim=zd, hidden_dim=64, num_layers=num_layers,
-                          fourier_expansion=True, fourier_sigma=2 / (n - 1))
+                          n_out=n_out, fourier_expansion=True,
+                          fourier_sigma=2 / (n - 1))
     params = generator_init(jax.random.key(0), cfg)
     theta = jax.random.normal(jax.random.key(1), (3,))
     dx = jax.random.normal(jax.random.key(2), (3, 2)) * 0.2
