@@ -1,5 +1,14 @@
 """Fused lifted-group-conv + heads encoder kernel (mode C, any C_in).
 
+STATUS (round 3): opt-in alternative tier (TARGETVAE_ENCODER_TIER=patch).
+The 1-D-conv implicit-GEMM lift (models/encoders.py::_mode_c_xla_matmul)
+measured 1.2 ms/step faster at the flagship shape — the only shape family
+whose working set fits this kernel's VMEM budget — because build_patches'
+238 MB im2col materialization costs ~2 ms of HBM relayout copies that the
+implicit GEMM never pays (interleaved A/B, BENCH_NOTES.md round 3). Kept
+parity-tested as the reference implementation of a fully fused
+single-kernel encoder.
+
 The TARGET-VAE encoder lifts the image with an image-sized rotated filter bank
 (k = 28..65, R*K up to 2048 output channels), applies a 1x1x1 mixing conv and
 three 1x1x1 heads (reference src/models.py:346-351). XLA's direct conv

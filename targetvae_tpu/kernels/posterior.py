@@ -20,6 +20,12 @@ forward (same PRNG seed) and applies hand-derived VJPs; layout is (B, R, M)
 with M = H'*W' on the lane axis, so nothing is ever reshaped across tiled
 dims.
 
+Grid programs process G images each (G = largest batch divisor whose blocks
+fit a VMEM budget): per-image (R, M) planes are small (49 KB at the flagship
+grid), so a one-image-per-program grid is dominated by per-step dispatch/DMA
+latency, not compute — batching images per program amortizes it. Seeds stay
+per-image (seed + image index), so results are G-invariant.
+
 Gumbel noise comes from the in-kernel PRNG (pltpu.prng_*); pass
 deterministic=True to replace the sample with softmax(attn) — used by the
 parity tests and mirroring how the ELBO tests zero the reference's noise.
@@ -110,34 +116,45 @@ def _posterior_core(attn, th_mu, th_ls, z_mu, z_ls, p_tr, gridx, gridy,
 
 
 def _fwd_kernel(seed_ref, attn_ref, th_ref, z_ref, p_tr_ref, gx_ref, gy_ref,
-                offs_ref, out_ref, *, sig_r, zd, deterministic):
+                offs_ref, out_ref, *, sig_r, zd, deterministic, G):
     b = pl.program_id(0)
-    attn = attn_ref[0]
-    (q, eq, a, dead, th_std, kl_th, kl_z, z_mu_e, z_std_e, th_mu_e, th_std_e,
-     dx0, dx1, kl) = _posterior_core(
-        attn, th_ref[0, 0], th_ref[0, 1], z_ref[0, 0], z_ref[0, 1],
-        p_tr_ref[...], gx_ref[...], gy_ref[...], offs_ref[...],
-        sig_r=sig_r, zd=zd, deterministic=deterministic,
-        seed_val=seed_ref[0] + b)
-    vals = z_mu_e + z_std_e + [th_mu_e, th_std_e, dx0, dx1, kl]
-    out_ref[0] = jnp.concatenate([v.reshape(1, 1) for v in vals], axis=1)
+    for g in range(G):
+        attn = attn_ref[g]
+        (q, eq, a, dead, th_std, kl_th, kl_z, z_mu_e, z_std_e, th_mu_e,
+         th_std_e, dx0, dx1, kl) = _posterior_core(
+            attn, th_ref[g, 0], th_ref[g, 1], z_ref[g, 0], z_ref[g, 1],
+            p_tr_ref[...], gx_ref[...], gy_ref[...], offs_ref[...],
+            sig_r=sig_r, zd=zd, deterministic=deterministic,
+            seed_val=seed_ref[0] + b * G + g)
+        vals = z_mu_e + z_std_e + [th_mu_e, th_std_e, dx0, dx1, kl]
+        out_ref[g] = jnp.concatenate([v.reshape(1, 1) for v in vals], axis=1)
 
 
 def _bwd_kernel(seed_ref, attn_ref, th_ref, z_ref, p_tr_ref, gx_ref, gy_ref,
                 offs_ref, g_ref, dattn_ref, dth_ref, dz_ref, *, sig_r, zd,
-                deterministic):
+                deterministic, G):
     b = pl.program_id(0)
-    attn = attn_ref[0]
-    th_mu = th_ref[0, 0]
-    th_ls = th_ref[0, 1]
+    for gi in range(G):
+        _bwd_one(gi, seed_ref[0] + b * G + gi, attn_ref, th_ref, z_ref,
+                 p_tr_ref, gx_ref, gy_ref, offs_ref, g_ref, dattn_ref,
+                 dth_ref, dz_ref, sig_r=sig_r, zd=zd,
+                 deterministic=deterministic)
+
+
+def _bwd_one(gi, seed_val, attn_ref, th_ref, z_ref, p_tr_ref, gx_ref, gy_ref,
+             offs_ref, g_ref, dattn_ref, dth_ref, dz_ref, *, sig_r, zd,
+             deterministic):
+    attn = attn_ref[gi]
+    th_mu = th_ref[gi, 0]
+    th_ls = th_ref[gi, 1]
     (q, eq, a, dead, th_std, kl_th, kl_z, z_mu_e, z_std_e, th_mu_e, th_std_e,
      dx0, dx1, kl) = _posterior_core(
-        attn, th_mu, th_ls, z_ref[0, 0], z_ref[0, 1],
+        attn, th_mu, th_ls, z_ref[gi, 0], z_ref[gi, 1],
         p_tr_ref[...], gx_ref[...], gy_ref[...], offs_ref[...],
         sig_r=sig_r, zd=zd, deterministic=deterministic,
-        seed_val=seed_ref[0] + b)
+        seed_val=seed_val)
 
-    g = g_ref[0]                                     # (1, 2*zd + 5) cotangents
+    g = g_ref[gi]                                    # (1, 2*zd + 5) cotangents
     g_zmu = [g[0, d] for d in range(zd)]
     g_zstd = [g[0, zd + d] for d in range(zd)]
     g_thmu = g[0, 2 * zd]
@@ -155,8 +172,8 @@ def _bwd_kernel(seed_ref, attn_ref, th_ref, z_ref, p_tr_ref, gx_ref, gy_ref,
     d_a = g_thmu * th_mu + g_thstd * th_std
     d_a = d_a + (g_dx0 * gridx + g_dx1 * gridy)      # broadcast (1,M)->(R,M)
     for d in range(zd):
-        zs = jnp.exp(z_ref[0, 1, d]) + _EPS
-        d_a = d_a + g_zmu[d] * z_ref[0, 0, d] + g_zstd[d] * zs
+        zs = jnp.exp(z_ref[gi, 1, d]) + _EPS
+        d_a = d_a + g_zmu[d] * z_ref[gi, 0, d] + g_zstd[d] * zs
 
     # --- grads into q via the KL ---
     # val1: d/dq_i = e^q (q - p) + e^q ; val2: d/dq_i = e^q * w_i
@@ -172,34 +189,49 @@ def _bwd_kernel(seed_ref, attn_ref, th_ref, z_ref, p_tr_ref, gx_ref, gy_ref,
     d_thstd = g_thstd * a + jnp.where(
         live, scale * (th_std / (sig_r * sig_r) - 1.0 / th_std), 0.0)
     d_thls = d_thstd * (th_std - _EPS)               # d exp(ls)
-    dth_ref[0, 0] = d_thmu
-    dth_ref[0, 1] = d_thls
+    dth_ref[gi, 0] = d_thmu
+    dth_ref[gi, 1] = d_thls
 
     for d in range(zd):
-        zm = z_ref[0, 0, d]
-        zs = jnp.exp(z_ref[0, 1, d]) + _EPS
+        zm = z_ref[gi, 0, d]
+        zs = jnp.exp(z_ref[gi, 1, d]) + _EPS
         d_zm = g_zmu[d] * a + jnp.where(live, scale * zm, 0.0)
         d_zs = g_zstd[d] * a + jnp.where(live, scale * (zs - 1.0 / zs), 0.0)
-        dz_ref[0, 0, d] = d_zm
-        dz_ref[0, 1, d] = d_zs * (zs - _EPS)
+        dz_ref[gi, 0, d] = d_zm
+        dz_ref[gi, 1, d] = d_zs * (zs - _EPS)
 
     # --- softmax / log_softmax vjps into attn ---
     # a = softmax(attn + gumbel): d_attn += a * (d_a - sum(d_a * a))
     d_attn = a * (d_a - jnp.sum(d_a * a))
     # q = log_softmax(attn): d_attn += d_q - exp(q) * sum(d_q)
     d_attn = d_attn + d_q - eq * jnp.sum(d_q)
-    dattn_ref[0] = d_attn
+    dattn_ref[gi] = d_attn
+
+
+def _pick_group(B: int, R: int, M: int, zd: int, want_grads: bool) -> int:
+    """Largest batch divisor G whose per-program blocks stay under a ~5 MB
+    VMEM budget (x2 for Mosaic's double buffering -> ~10 MB of the 16 MB
+    scoped default). Per image the bwd touches (3 + 2*zd) input planes plus
+    as many output planes of padded (R, M) f32."""
+    plane = (-(-R // 8) * 8) * (-(-M // 128) * 128) * 4
+    planes = (3 + 2 * zd) * (2 if want_grads else 1)
+    budget = 5 * 1024 * 1024
+    for G in range(min(B, max(1, budget // max(1, planes * plane))), 0, -1):
+        if B % G == 0:
+            return G
+    return 1
 
 
 def _call(seed, attn, th, z, p_tr, gx, gy, offs, *, sig_r, zd, deterministic,
           interpret, want_grads, g=None):
     B, R, M = attn.shape
     n_out = 2 * zd + 5
+    G = _pick_group(B, R, M, zd, want_grads)
     common_in = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed (1,)
-        pl.BlockSpec((1, R, M), lambda b: (b, 0, 0)),          # attn
-        pl.BlockSpec((1, 2, R, M), lambda b: (b, 0, 0, 0)),    # theta mu/ls
-        pl.BlockSpec((1, 2, zd, R, M), lambda b: (b, 0, 0, 0, 0)),  # z
+        pl.BlockSpec((G, R, M), lambda b: (b, 0, 0)),          # attn
+        pl.BlockSpec((G, 2, R, M), lambda b: (b, 0, 0, 0)),    # theta mu/ls
+        pl.BlockSpec((G, 2, zd, R, M), lambda b: (b, 0, 0, 0, 0)),  # z
         pl.BlockSpec((R, M), lambda b: (0, 0)),                # p_tr
         pl.BlockSpec((1, M), lambda b: (0, 0)),                # grid x
         pl.BlockSpec((1, M), lambda b: (0, 0)),                # grid y
@@ -208,10 +240,10 @@ def _call(seed, attn, th, z, p_tr, gx, gy, offs, *, sig_r, zd, deterministic,
     if not want_grads:
         return pl.pallas_call(
             functools.partial(_fwd_kernel, sig_r=sig_r, zd=zd,
-                              deterministic=deterministic),
-            grid=(B,),
+                              deterministic=deterministic, G=G),
+            grid=(B // G,),
             in_specs=common_in,
-            out_specs=pl.BlockSpec((1, 1, n_out), lambda b: (b, 0, 0)),
+            out_specs=pl.BlockSpec((G, 1, n_out), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, 1, n_out), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
@@ -220,15 +252,15 @@ def _call(seed, attn, th, z, p_tr, gx, gy, offs, *, sig_r, zd, deterministic,
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, sig_r=sig_r, zd=zd,
-                          deterministic=deterministic),
-        grid=(B,),
+                          deterministic=deterministic, G=G),
+        grid=(B // G,),
         in_specs=common_in + [
-            pl.BlockSpec((1, 1, n_out), lambda b: (b, 0, 0)),  # cotangents
+            pl.BlockSpec((G, 1, n_out), lambda b: (b, 0, 0)),  # cotangents
         ],
         out_specs=(
-            pl.BlockSpec((1, R, M), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 2, R, M), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 2, zd, R, M), lambda b: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((G, R, M), lambda b: (b, 0, 0)),
+            pl.BlockSpec((G, 2, R, M), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((G, 2, zd, R, M), lambda b: (b, 0, 0, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, R, M), jnp.float32),

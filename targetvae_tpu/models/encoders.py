@@ -48,9 +48,19 @@ def _encoder_kernel_vmem_ok(cfg: EncoderConfig, tile_rows: int = 13) -> bool:
 
 
 def _use_encoder_kernel(cfg: EncoderConfig, compute_dtype) -> bool:
+    """Gate for the single-kernel patch-im2col encoder (_mode_c_kernel).
+
+    Off by default since round 3: the 1-D-conv lift tier (_mode_c_xla_matmul)
+    measured FASTER at the only shapes that fit this kernel's VMEM budget
+    (flagship 50x50/k=28/P8, batch 100: 17.96 ms/step vs 19.15 interleaved
+    A/B, 3 rounds each — the implicit-GEMM conv never materializes the
+    238 MB patch matrix whose build costs ~2 ms of HBM relayout copies).
+    TARGETVAE_ENCODER_TIER=patch re-enables it (the kernel stays
+    parity-tested in interpret mode)."""
     if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
         return False
-    return (compute_dtype == jnp.bfloat16 and cfg.mode == "C"
+    return (os.environ.get("TARGETVAE_ENCODER_TIER") == "patch"
+            and compute_dtype == jnp.bfloat16 and cfg.mode == "C"
             and jax.default_backend() == "tpu"
             and _encoder_kernel_vmem_ok(cfg))
 
@@ -244,9 +254,11 @@ def _lift_conv1d(y: jnp.ndarray, wc: jnp.ndarray, *, C: int, k: int,
 
 def _mode_c_xla_matmul(params: dict, cfg: EncoderConfig, y: jnp.ndarray,
                        allow_kernels: bool = True):
-    """Mode-C forward for kernel sizes whose fused-kernel working set exceeds
-    VMEM (k = 64..65, cryo-EM / dsprites / galaxy): 1-D-conv lift
-    (_lift_conv1d) + fused mixing/heads."""
+    """Mode-C TPU tier (the default since round 3, all kernel sizes):
+    1-D-conv lift (_lift_conv1d) + fused mixing/heads. Originally the big-k
+    tier (k = 64..65, cryo-EM / dsprites / galaxy, where the patch kernel's
+    working set exceeds VMEM); it also beats the patch kernel at small k
+    (see _use_encoder_kernel)."""
     R, K, k, pad = (cfg.groupconv, cfg.kernels_num, cfg.kernels_size,
                     cfg.padding)
     hp = attn_dim_for(cfg)

@@ -139,11 +139,16 @@ def test_data_parallel_epoch():
     assert np.isfinite(elbo)
 
 
-def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
+@pytest.mark.parametrize("tier", ["conv1d", "patch"])
+def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch, tier):
     """VERDICT r1 #3 done-criterion: on a ('data','model') mesh the Trainer's
     two-axis shard_map loss (train/loop.py::_loss_fn_dp) must still dispatch
     every fused Pallas kernel — the inverted counter — and the sharded step
     must match both the single-device kernel step and the plain XLA step.
+
+    Parametrized over both mode-C encoder tiers: 'conv1d' (the default
+    1-D-conv lift + fused mix/heads kernel) and 'patch' (the opt-in
+    single-kernel im2col encoder, TARGETVAE_ENCODER_TIER=patch).
 
     The kernel gates key on jax.default_backend() == 'tpu'; here the backend
     is patched and the kernels run in interpret mode, with all sampling noise
@@ -151,8 +156,12 @@ def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
     the gumbel patch applies to the XLA tier)."""
     import targetvae_tpu.kernels.decoder_pose as DP
     import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.mix_heads as MH
     import targetvae_tpu.kernels.posterior as PK
     import targetvae_tpu.models.encoders as EN
+
+    if tier == "patch":
+        monkeypatch.setenv("TARGETVAE_ENCODER_TIER", "patch")
 
     model = _model()
     # init params BEFORE patching the noise: the test model uses
@@ -186,9 +195,12 @@ def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
     m_xla = run(Trainer(model, TrainConfig(learning_rate=1e-3,
                                            compute_dtype="bfloat16")))
 
-    # 2)+3) gate the kernel paths on, in interpret mode, with call counters
+    # 2)+3) gate the kernel paths on, in interpret mode, with call counters.
+    # "lift" counts whichever encoder kernel the tier dispatches: the patch
+    # im2col kernel or the conv1d tier's fused mix/heads kernel.
     calls = {"lift": 0, "posterior": 0, "decoder": 0}
-    orig = (LE.fused_lifted_encoder, PK.fused_posterior, DP.fused_pose_decoder)
+    orig = (LE.fused_lifted_encoder, PK.fused_posterior, DP.fused_pose_decoder,
+            MH.fused_lift_act_mix_heads)
 
     def lift(*a, **kw):
         calls["lift"] += 1
@@ -206,9 +218,15 @@ def test_dp_tp_mesh_takes_pallas_kernel_path(monkeypatch):
         kw["interpret"] = True
         return orig[2](*a, **kw)
 
+    def mix(*a, **kw):
+        calls["lift"] += 1
+        kw["interpret"] = True
+        return orig[3](*a, **kw)
+
     monkeypatch.setattr(LE, "fused_lifted_encoder", lift)
     monkeypatch.setattr(PK, "fused_posterior", post)
     monkeypatch.setattr(DP, "fused_pose_decoder", dec)
+    monkeypatch.setattr(MH, "fused_lift_act_mix_heads", mix)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     m_kernel = run(Trainer(model, TrainConfig(learning_rate=1e-3,
@@ -276,6 +294,7 @@ def test_sp_mesh_takes_pallas_kernel_path(monkeypatch):
     sharded step must match the unsharded kernel step numerically."""
     import targetvae_tpu.kernels.decoder_pose as DP
     import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.mix_heads as MH
     import targetvae_tpu.kernels.posterior as PK
     import targetvae_tpu.models.encoders as EN
 
@@ -294,14 +313,22 @@ def test_sp_mesh_takes_pallas_kernel_path(monkeypatch):
         lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits / tau,
                                                              axis=axis))
 
+    # "lift" counts whichever encoder kernel the tier dispatches (the
+    # default conv1d tier fires the fused mix/heads kernel)
     calls = {"lift": 0, "posterior": 0, "decoder": 0, "sp_post": 0}
     orig = (LE.fused_lifted_encoder, PK.fused_posterior,
-            DP.fused_pose_decoder, PK.posterior_shard_partials)
+            DP.fused_pose_decoder, PK.posterior_shard_partials,
+            MH.fused_lift_act_mix_heads)
 
     def lift(*a, **kw):
         calls["lift"] += 1
         kw["interpret"] = True
         return orig[0](*a, **kw)
+
+    def mix(*a, **kw):
+        calls["lift"] += 1
+        kw["interpret"] = True
+        return orig[4](*a, **kw)
 
     def post(*a, **kw):
         calls["posterior"] += 1
@@ -323,6 +350,7 @@ def test_sp_mesh_takes_pallas_kernel_path(monkeypatch):
     monkeypatch.setattr(PK, "fused_posterior", post)
     monkeypatch.setattr(DP, "fused_pose_decoder", dec)
     monkeypatch.setattr(PK, "posterior_shard_partials", sp_post)
+    monkeypatch.setattr(MH, "fused_lift_act_mix_heads", mix)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     y = jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))
