@@ -156,29 +156,51 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
 
     hs16 = [hs_refs[i][0, 0] for i in range(L + 1)]
 
+    pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
     if lane_major:
         # (n_out, px) -> (px, n_out) via an MXU identity contraction: a
         # reshape/transpose here is a sublane<->lane relayout (69 near-empty
         # (8,128) tiles at px=550, ~1 ms/step of VPU shuffles); the matmul
         # is n_out * 0.3 MFLOP. Channel planes (row c*nt + t) mirror the
         # forward's store layout — single-row dynamic-offset reads only.
+        # For C == 1 the identity is bf16 (every matmul consumer uses g in
+        # bf16, and cast commutes with a 0/1 contraction) so its VMEM cost
+        # — the quadratic term that bounds the row tile — is halved; the
+        # f32 db3 sum comes straight off the lane-major rows. C > 1 keeps
+        # the f32 identity: Mosaic lowers the (px, px) x (C, px)
+        # contraction to tpu.matmul, whose verifier requires a 32-bit
+        # accumulator (bf16 pref fails 'Expected matmul acc to be 32-bit'
+        # on v5e; the C == 1 form avoids tpu.matmul entirely — an f32 pref
+        # there emits a bf16->f32 vector.broadcast of the eye that fails
+        # the verifier the other way).
         C = w3_ref.shape[1]
         nt = pl.num_programs(1)
         g_rows = jnp.concatenate(
             [g_ref[0, pl.ds(c * nt + t_idx, 1)] for c in range(C)],
             axis=0) if C > 1 else g_ref[0, pl.ds(t_idx, 1)]  # (n_out, px)
-        g = jax.lax.dot_general(
-            eye_ref[...], g_rows, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (px, n_out)
+        # mask padded image rows in lane space: lane l = pixel row l // n
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, tr * n), 1)
+        lane_ok = (lane_i // n + t_idx * tr < hp_rows).astype(jnp.float32)
+        g_rows = g_rows * lane_ok
+        db3 = jax.lax.dot_general(                      # (1, n_out) f32
+            jnp.ones((1, tr * n), jnp.float32), g_rows,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if C == 1:
+            g16 = jax.lax.dot_general(
+                eye_ref[...], g_rows.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)
+        else:
+            g16 = jax.lax.dot_general(
+                eye_ref[...], g_rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     else:
-        g = g_ref[0, 0]                                 # (tr*n, n_out)
-    pix_ok = jnp.repeat(row_ok, n, axis=0)              # (tr*n, 1)
-    g = g * pix_ok
-    g16 = g.astype(jnp.bfloat16)
+        g = g_ref[0, 0] * pix_ok                        # (tr*n, n_out)
+        db3 = jnp.sum(g, axis=0, keepdims=True)
+        g16 = g.astype(jnp.bfloat16)
 
     dw3 = jax.lax.dot_general(hs16[-1], g16, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db3 = jnp.sum(g, axis=0, keepdims=True)
     dh = jax.lax.dot_general(g16, w3_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dwh_l = [None] * L
@@ -396,7 +418,8 @@ def _bwd(res, g, *, n, tr, act_kind, interpret):
     if lane_major:
         px = tr * n
         eye_in = [pl.BlockSpec((px, px), lambda b, t: (0, 0))]
-        eye_args = [jnp.eye(px, dtype=jnp.float32)]
+        eye_dt = jnp.bfloat16 if n_out == 1 else jnp.float32
+        eye_args = [jnp.eye(px, dtype=eye_dt)]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n=n, tr=tr, hp_rows=n, L=L,
                           act_kind=act_kind, lane_major=lane_major),
