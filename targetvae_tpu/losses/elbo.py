@@ -36,6 +36,12 @@ from .likelihoods import reconstruction_log_prob
 _EPS = 1e-6
 
 
+def _wmean(v: jnp.ndarray, row_weights) -> jnp.ndarray:
+    """Batch mean, or the weighted SUM when per-row weights are given (the
+    caller owns normalization — see reconstruction_log_prob)."""
+    return jnp.mean(v) if row_weights is None else jnp.dot(row_weights, v)
+
+
 def _use_posterior_kernel(compute_dtype) -> bool:
     import os
     if os.environ.get("TARGETVAE_DISABLE_PALLAS"):
@@ -105,7 +111,9 @@ def reconstruct_log_prob(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                          z: jnp.ndarray,
                          ctf: Optional[jnp.ndarray] = None,
                          compute_dtype: Optional[jnp.dtype] = None,
-                         allow_kernels: bool = True) -> jnp.ndarray:
+                         allow_kernels: bool = True,
+                         row_weights: Optional[jnp.ndarray] = None,
+                         ) -> jnp.ndarray:
     """Decode (theta, dx, z) and score y under the configured likelihood —
     the shared reconstruction tail of every ELBO mode (reference
     train_mnist.py:286-294 / train_particles.py:284-341)."""
@@ -132,7 +140,7 @@ def reconstruct_log_prob(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
     return reconstruction_log_prob(
         y_hat, y, lcfg.kind, fit_noise=lcfg.fit_noise, ctf=ctf,
         dx=dx, mask_radius=lcfg.mask_radius, btw_pixels_space=btw,
-        ctf_dft=use_dft)
+        ctf_dft=use_dft, row_weights=row_weights)
 
 
 def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
@@ -141,8 +149,13 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
                  compute_dtype: Optional[jnp.dtype] = None,
                  allow_kernels: bool = True,
                  sp=None,
+                 row_weights: Optional[jnp.ndarray] = None,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns scalar (elbo, log_p_x_g_z, kl_div), batch means.
+
+    row_weights: optional (B,) weights turning every batch mean into a
+    weighted SUM (caller-normalized) — used by the Trainer's zero-weight
+    ragged-tail padding so tail batches stay on the mesh kernel path.
 
     x_coord: (N, 2) base pixel coordinates; y: (B, H, W, C) images.
 
@@ -216,7 +229,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
             log_prior, grid_cells, offs_cells)
         z = z_std_e * jax.random.normal(k_z, (b, ecfg.z_dim)) + z_mu_e
         theta = th_std_e * jax.random.normal(k_theta, (b,)) + th_mu_e
-        kl_div = jnp.mean(kl)
+        kl_div = _wmean(kl, row_weights)
 
     elif ecfg.mode == "A":
         z_mu, z_logstd = enc["z_mu"], enc["z_logstd"]
@@ -233,7 +246,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         # unit-normal KL over translations AND content (reference :82-83)
         rest_logstd, rest_std, rest_mu = z_logstd[:, 1:], z_std[:, 1:], z_mu[:, 1:]
         z_kl = -rest_logstd + 0.5 * rest_std ** 2 + 0.5 * rest_mu ** 2 - 0.5
-        kl_div = jnp.mean(kl_theta + jnp.sum(z_kl, axis=1))
+        kl_div = _wmean(kl_theta + jnp.sum(z_kl, axis=1), row_weights)
 
 
     elif (ecfg.mode == "B" and allow_kernels
@@ -262,7 +275,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         theta = (post["theta_std_e"] * jax.random.normal(k_theta, (b,))
                  + post["theta_mu_e"])
         dx = post["dx"]
-        kl_div = jnp.mean(post["kl"])
+        kl_div = _wmean(post["kl"], row_weights)
 
     elif ecfg.mode == "B":
         attn = enc["attn"].astype(jnp.float32)                    # (B, H', W')
@@ -294,7 +307,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         kl_z = jnp.sum(normal_kl(zg_mu, zg_std, 0.0, 1.0), axis=-1)
         kl_th = normal_kl(tg_mu, tg_std, 0.0, ecfg.theta_prior)
         val2 = jnp.sum(jnp.exp(q_t) * (kl_th + kl_z), axis=1)
-        kl_div = jnp.mean(val1 + val2)
+        kl_div = _wmean(val1 + val2, row_weights)
 
     elif (ecfg.mode == "C" and allow_kernels
           and _use_posterior_kernel(compute_dtype)):
@@ -322,7 +335,7 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         theta = (post["theta_std_e"] * jax.random.normal(k_theta, (b,))
                  + post["theta_mu_e"])
         dx = post["dx"]
-        kl_div = jnp.mean(post["kl"])
+        kl_div = _wmean(post["kl"], row_weights)
 
     else:  # mode C
         R = ecfg.groupconv
@@ -365,11 +378,12 @@ def compute_elbo(params: dict, cfg: ModelConfig, x_coord: jnp.ndarray,
         offs_cells = jnp.tile(offs, ad * ad)                      # (HWR,) R-minor
         kl_th = normal_kl(tq_mu, tq_std, offs_cells, sig_r)
         val2 = jnp.sum(jnp.exp(qf) * (kl_th + kl_z), axis=1)
-        kl_div = jnp.mean(val1 + val2)
+        kl_div = _wmean(val1 + val2, row_weights)
 
     # ---- reconstruction ----
     log_p = reconstruct_log_prob(params, cfg, x_coord, y, theta, dx, z,
                                  ctf=ctf, compute_dtype=compute_dtype,
-                                 allow_kernels=allow_kernels)
+                                 allow_kernels=allow_kernels,
+                                 row_weights=row_weights)
     elbo = log_p - kl_div
     return elbo, log_p, kl_div

@@ -115,11 +115,17 @@ def reconstruction_log_prob(y_hat: jnp.ndarray, y: jnp.ndarray, kind: str,
                             dx: Optional[jnp.ndarray] = None,
                             mask_radius: int = 0,
                             btw_pixels_space: float = 0.0,
-                            ctf_dft: bool = False) -> jnp.ndarray:
+                            ctf_dft: bool = False,
+                            row_weights: Optional[jnp.ndarray] = None,
+                            ) -> jnp.ndarray:
     """Batch-mean reconstruction log-likelihood.
 
     y_hat: (B, N, n_out) generator output; y: (B, H, W, C) targets.
-    """
+
+    row_weights: optional (B,) per-image weights. When given, the batch mean
+    becomes the weighted SUM of per-image log-likelihoods — the caller owns
+    the normalization (e.g. 1/n_real for zero-weight-padded ragged tail
+    batches on meshes, train/loop.py)."""
     b = y.shape[0]
     n = y.shape[1]
 
@@ -130,6 +136,9 @@ def reconstruction_log_prob(y_hat: jnp.ndarray, y: jnp.ndarray, kind: str,
         size = targets.shape[1]
         # -BCE_mean * size (reference train_mnist.py:291); RGB uses size=N*3
         # (train_galaxy.py:289-291) which this reduces to as well.
+        if row_weights is not None:
+            return -jnp.dot(row_weights,
+                            jnp.sum(_bce_with_logits(logits, targets), axis=1))
         return -jnp.mean(_bce_with_logits(logits, targets)) * size
 
     # gaussian (particles)
@@ -162,5 +171,9 @@ def reconstruction_log_prob(y_hat: jnp.ndarray, y: jnp.ndarray, kind: str,
         term = (y_mu - y_flat) ** 2 / y_var + y_logvar
         if mask is not None:
             term = jnp.where(mask, term, 0.0)
-        return -0.5 * jnp.mean(jnp.sum(term, axis=1))
-    return -0.5 * jnp.mean(jnp.sum((y_mu - y_flat) ** 2, axis=1))
+        per_row = jnp.sum(term, axis=1)
+    else:
+        per_row = jnp.sum((y_mu - y_flat) ** 2, axis=1)
+    if row_weights is not None:
+        return -0.5 * jnp.dot(row_weights, per_row)
+    return -0.5 * jnp.mean(per_row)

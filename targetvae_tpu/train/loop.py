@@ -130,23 +130,29 @@ class Trainer:
             return None
         return (self._mesh, "model")
 
-    def _loss_fn(self, params, y, key, ctf):
-        # ragged tail batches can't split evenly across shards: they take the
-        # GSPMD/XLA path (kernels off) while full batches keep the kernels
+    def _loss_fn(self, params, y, key, ctf, w=None):
+        # Ragged tail batches are padded by the caller (train_epoch/
+        # eval_epoch) to the next mesh-divisible size with ZERO-WEIGHT rows
+        # (w sums to 1 over the real rows), so they keep the kernel
+        # shard_map path instead of falling back to the GSPMD tier — whose
+        # backward all-gathers per-data-shard lift/decoder activations over
+        # 'model' (ROADMAP round-3 HLO finding). The GSPMD fallback remains
+        # only for batches that arrive ragged through the raw step API.
         even = (self._mesh is not None
                 and y.shape[0] % self._mesh.size == 0)
         if even and self._use_mesh_shardmap():
-            return self._loss_fn_dp(params, y, key, ctf)
+            return self._loss_fn_dp(params, y, key, ctf, w)
         if even and self._use_sp_shardmap():
-            return self._loss_fn_sp(params, y, key, ctf)
+            return self._loss_fn_sp(params, y, key, ctf, w)
         elbo, log_p, kl = compute_elbo(params, self.model.cfg, self._x_coord,
                                        y, key, ctf=ctf,
                                        compute_dtype=self.compute_dtype,
                                        allow_kernels=self._allow_kernels,
-                                       sp=self._sp_ctx(y.shape[0]))
+                                       sp=self._sp_ctx(y.shape[0]),
+                                       row_weights=w)
         return -elbo, (log_p, kl)
 
-    def _loss_fn_dp(self, params, y, key, ctf):
+    def _loss_fn_dp(self, params, y, key, ctf, w=None):
         """Per-shard loss under shard_map: the batch is split over BOTH mesh
         axes (so a ('data','model') mesh keeps every device computing with
         the fused kernels live), the TP-sharded params are gathered to the
@@ -165,25 +171,27 @@ class Trainer:
 
         axes = ("data", "model")
 
-        def local(params, y, ctf, key):
+        def local(params, y, ctf, key, w):
             idx = (jax.lax.axis_index("data") * jax.lax.axis_size("model")
                    + jax.lax.axis_index("model"))
             k = jax.random.fold_in(key, idx)
             elbo, log_p, kl = compute_elbo(
                 params, self.model.cfg, self._x_coord, y, k, ctf=ctf,
-                compute_dtype=self.compute_dtype, allow_kernels=True)
-            return (jax.lax.pmean(-elbo, axes),
-                    (jax.lax.pmean(log_p, axes),
-                     jax.lax.pmean(kl, axes)))
+                compute_dtype=self.compute_dtype, allow_kernels=True,
+                row_weights=w)
+            # zero-weight-padded tails carry caller-normalized weighted SUMS
+            # per shard: psum composes them; unweighted shards pmean
+            red = jax.lax.pmean if w is None else jax.lax.psum
+            return (red(-elbo, axes), (red(log_p, axes), red(kl, axes)))
 
         sm = shard_map(
             local, mesh=self._mesh,
             in_specs=(P(), P(axes), P(axes) if ctf is not None else P(),
-                      P()),
+                      P(), P(axes) if w is not None else P()),
             out_specs=(P(), (P(), P())), **extra)
-        return sm(params, y, ctf, key)
+        return sm(params, y, ctf, key, w)
 
-    def _loss_fn_sp(self, params, y, key, ctf):
+    def _loss_fn_sp(self, params, y, key, ctf, w=None):
         """--sp composed with the fused kernels (Ulysses-style SP).
 
         Encoder and decoder run on batch shards over BOTH mesh axes with the
@@ -213,7 +221,7 @@ class Trainer:
         axes = ("data", "model")
         T = dict(self._mesh.shape)["model"]
 
-        def local(params, y, ctf, key):
+        def local(params, y, ctf, key, w):
             b_l = y.shape[0]
             d_idx = jax.lax.axis_index("data")
             t_idx = jax.lax.axis_index("model")
@@ -280,23 +288,25 @@ class Trainer:
                 v, t_idx * b_l, b_l, 0)
             log_p = reconstruct_log_prob(
                 params, cfg, self._x_coord, y, row(theta), row(dx), row(z),
-                ctf=ctf, compute_dtype=self.compute_dtype, allow_kernels=True)
-            kl_div = jnp.mean(row(kl))
-            return (jax.lax.pmean(kl_div - log_p, axes),
-                    (jax.lax.pmean(log_p, axes),
-                     jax.lax.pmean(kl_div, axes)))
+                ctf=ctf, compute_dtype=self.compute_dtype, allow_kernels=True,
+                row_weights=w)
+            kl_div = (jnp.mean(row(kl)) if w is None
+                      else jnp.dot(w, row(kl)))
+            red = jax.lax.pmean if w is None else jax.lax.psum
+            return (red(kl_div - log_p, axes),
+                    (red(log_p, axes), red(kl_div, axes)))
 
         sm = shard_map(
             local, mesh=self._mesh,
             in_specs=(P(), P(axes), P(axes) if ctf is not None else P(),
-                      P()),
+                      P(), P(axes) if w is not None else P()),
             out_specs=(P(), (P(), P())), **extra)
-        return sm(params, y, ctf, key)
+        return sm(params, y, ctf, key, w)
 
-    def _step_impl(self, state: TrainState, y, ctf=None):
+    def _step_impl(self, state: TrainState, y, ctf=None, w=None):
         key, sub = jax.random.split(state.key)
         (neg_elbo, (log_p, kl)), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(state.params, y, sub, ctf)
+            self._loss_fn, has_aux=True)(state.params, y, sub, ctf, w)
         updates, opt_state = self.opt.update(grads, state.opt_state,
                                              state.params)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -304,8 +314,8 @@ class Trainer:
                                opt_state=opt_state, key=key)
         return new_state, jnp.stack([-neg_elbo, log_p, kl])
 
-    def _eval_impl(self, state: TrainState, y, key, ctf=None):
-        neg_elbo, (log_p, kl) = self._loss_fn(state.params, y, key, ctf)
+    def _eval_impl(self, state: TrainState, y, key, ctf=None, w=None):
+        neg_elbo, (log_p, kl) = self._loss_fn(state.params, y, key, ctf, w)
         return jnp.stack([-neg_elbo, log_p, kl])
 
     # -- whole-epoch scans -------------------------------------------------
@@ -392,13 +402,29 @@ class Trainer:
 
         rem = n - n_full * b
         if rem:
-            tail = perm[n_full * b:]
+            tail, w = self._pad_tail(perm[n_full * b:], rem)
             y = jnp.take(data, tail, axis=0)
             c = jnp.take(ctf, tail, axis=0) if ctf is not None else None
-            state, m = self._train_step(state, y, c)
+            state, m = self._train_step(state, y, c, w)
             metrics.append(np.asarray(m)[None])
             weights.append(float(rem))
         return state, _weighted_mean(np.concatenate(metrics), weights)
+
+    def _pad_tail(self, tail, rem: int):
+        """Pad a ragged tail's index vector to the next mesh-divisible size
+        by repeating its first row with ZERO weight, so the last step of an
+        unaligned epoch keeps the kernel shard_map path instead of the
+        activation-all-gathering GSPMD fallback (VERDICT r3 #3). The real
+        rows carry weight 1/rem — the loss, gradients, and reported metrics
+        equal the unpadded tail's batch means (reference drop_last=False
+        semantics, train_mnist.py:586-587)."""
+        pad = 0 if self._mesh is None else (-rem) % self._mesh.size
+        if not pad:
+            return tail, None
+        tail = jnp.concatenate([tail, jnp.broadcast_to(tail[:1], (pad,))])
+        w = jnp.concatenate([jnp.full((rem,), 1.0 / rem, jnp.float32),
+                             jnp.zeros((pad,), jnp.float32)])
+        return tail, w
 
     def train_epoch_stream(self, state: TrainState, batches, progress=None,
                            ) -> Tuple[TrainState, Tuple[float, float, float]]:
@@ -436,9 +462,10 @@ class Trainer:
             weights += [float(b)] * n_full
         rem = n - n_full * b
         if rem:
-            y = data[n_full * b:]
-            c = ctf[n_full * b:] if ctf is not None else None
-            m = self._eval_step(state, y, jax.random.fold_in(key, 1), c)
+            tail, w = self._pad_tail(jnp.arange(n_full * b, n), rem)
+            y = jnp.take(data, tail, axis=0)
+            c = jnp.take(ctf, tail, axis=0) if ctf is not None else None
+            m = self._eval_step(state, y, jax.random.fold_in(key, 1), c, w)
             metrics.append(np.asarray(m)[None])
             weights.append(float(rem))
         return _weighted_mean(np.concatenate(metrics), weights)

@@ -625,3 +625,196 @@ def test_sp_mesh_kernel_path_mode_b_with_ctf(monkeypatch):
 
     assert np.isfinite(m_sp).all()
     np.testing.assert_allclose(m_single, m_sp, rtol=2e-3, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# ragged-tail zero-weight padding (VERDICT r3 #3): unaligned tail batches
+# must keep the kernel shard_map path on meshes instead of the
+# activation-all-gathering GSPMD fallback
+# ---------------------------------------------------------------------------
+
+def _zero_noise(monkeypatch):
+    import targetvae_tpu.models.encoders as EN
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        jax.random, "gumbel",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        EN, "gumbel_softmax",
+        lambda key, logits, tau=1.0, axis=-1: jax.nn.softmax(logits / tau,
+                                                             axis=axis))
+
+
+def _interpret_kernels(monkeypatch, calls):
+    """Route every fused kernel through interpret mode, counting calls."""
+    import targetvae_tpu.kernels.decoder_pose as DP
+    import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.mix_heads as MH
+    import targetvae_tpu.kernels.posterior as PK
+
+    def wrap(mod, name, key, deterministic=False):
+        orig = getattr(mod, name)
+
+        def f(*a, **kw):
+            calls[key] += 1
+            kw["interpret"] = True
+            if deterministic:
+                kw["deterministic"] = True
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(mod, name, f)
+
+    wrap(LE, "fused_lifted_encoder", "lift")
+    wrap(MH, "fused_lift_act_mix_heads", "lift")
+    wrap(PK, "fused_posterior", "posterior", deterministic=True)
+    wrap(DP, "fused_pose_decoder", "decoder")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def test_ragged_tail_padded_loss_and_grads_match_unpadded(monkeypatch):
+    """A 5-row batch padded to 8 with zero-weight repeated rows on a 4x2 mesh
+    must (a) fire the Pallas kernels (inverted counter), (b) produce the same
+    loss/metrics AND parameter gradients as the unpadded single-device kernel
+    step (noise zeroed)."""
+    model = _model()
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+    _zero_noise(monkeypatch)
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    _interpret_kernels(monkeypatch, calls)
+
+    y5 = jax.random.uniform(jax.random.key(1), (5, 16, 16, 1))
+    key = jax.random.key(3)
+
+    single = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                        compute_dtype="bfloat16"))
+    v0, g0 = jax.value_and_grad(
+        lambda p: single._loss_fn(p, y5, key, None)[0])(state0.params)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=4, tp=2,
+                                    compute_dtype="bfloat16"))
+    tr.attach_mesh(mesh)
+    assert tr._use_mesh_shardmap()
+    y8 = jnp.concatenate([y5, jnp.broadcast_to(y5[:1], (3, 16, 16, 1))])
+    w = jnp.concatenate([jnp.full((5,), 1.0 / 5), jnp.zeros((3,))])
+    base = dict(calls)
+    v1, g1 = jax.value_and_grad(
+        lambda p: tr._loss_fn(p, y8, key, None, w)[0])(state0.params)
+
+    fired = {k: calls[k] - base[k] for k in calls}
+    assert all(v > 0 for v in fired.values()), fired
+
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=2e-3, atol=0.05)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, a in flat0:
+        bb = flat1[path]
+        assert np.isfinite(np.asarray(bb)).all(), path
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-2,
+                                   atol=1e-3, err_msg=str(path))
+
+
+def test_ragged_tail_sp_padded_matches_unpadded(monkeypatch):
+    """Same property for the --sp kernel path (_loss_fn_sp with weights)."""
+    model = _model()
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+    _zero_noise(monkeypatch)
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    _interpret_kernels(monkeypatch, calls)
+    import targetvae_tpu.kernels.posterior as PK
+    sp_calls = {"n": 0}
+    orig_sp = PK.posterior_shard_partials
+
+    def sp_post(*a, **kw):
+        sp_calls["n"] += 1
+        kw["interpret"] = True
+        return orig_sp(*a, **kw)
+
+    monkeypatch.setattr(PK, "posterior_shard_partials", sp_post)
+
+    y5 = jax.random.uniform(jax.random.key(1), (5, 16, 16, 1))
+    key = jax.random.key(3)
+    single = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                        compute_dtype="bfloat16"))
+    v0, _ = single._loss_fn(state0.params, y5, key, None)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=4, tp=2, sp=True,
+                                    compute_dtype="bfloat16"))
+    tr.attach_mesh(mesh)
+    assert tr._use_sp_shardmap()
+    y8 = jnp.concatenate([y5, jnp.broadcast_to(y5[:1], (3, 16, 16, 1))])
+    w = jnp.concatenate([jnp.full((5,), 1.0 / 5), jnp.zeros((3,))])
+    v1, _ = tr._loss_fn(state0.params, y8, key, None, w)
+    assert sp_calls["n"] > 0
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=2e-3, atol=0.05)
+
+
+def test_ragged_tail_hlo_no_model_axis_activation_allgather(monkeypatch):
+    """The padded tail step's compiled HLO must contain no batch-scale
+    activation all-gather over 'model' (the GSPMD fallback's signature,
+    ROADMAP round-3 finding) — only param-scale TP boundaries."""
+    model = _model()
+    state0 = Trainer(model, TrainConfig(learning_rate=1e-3)).init_state(0)
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    _interpret_kernels(monkeypatch, calls)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, dp=4, tp=2,
+                                    compute_dtype="bfloat16"))
+    tr.attach_mesh(mesh)
+    state = shard_state(mesh, state0)
+    y = jax.random.uniform(jax.random.key(1), (8, 16, 16, 1))  # tail 5 -> 8
+    ys, _ = shard_batch(mesh, y)
+    w = jnp.concatenate([jnp.full((5,), 1.0 / 5), jnp.zeros((3,))])
+    hlo = (jax.jit(tr._step_impl).lower(state, ys, None, w).compile()
+           .as_text())
+
+    # per-shard lift activation: (B/8) * H' * W' * R * K
+    shard_lift = (8 // 8) * 16 * 16 * 4 * 32
+    for dtype, dims, n in _collective_shapes(hlo, "all-gather"):
+        # params (conv1 w: 32*1*1*9*9 = 2592 etc.) are gathered at the loss
+        # boundary by design; nothing activation-scale may be
+        assert n <= 4 * shard_lift, (dtype, dims, n)
+
+
+def test_train_epoch_ragged_dataset_on_mesh_matches_single(monkeypatch):
+    """train_epoch on a 42-row dataset (minibatch 16 -> 2 full + tail 10
+    padded to 16) over a 4x2 mesh: every step fires kernels, and epoch
+    metrics match the single-device kernel epoch (noise zeroed, identical
+    shuffle from the same state key)."""
+    model = _model()
+    # init params BEFORE the noise patch (ops/fourier.py W init uses
+    # jax.random.normal); epoch scans donate the state, so each trainer
+    # gets its own identically-seeded copy
+    _zero_noise(monkeypatch)
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    _interpret_kernels(monkeypatch, calls)
+
+    data = jax.random.uniform(jax.random.key(1), (42, 16, 16, 1))
+
+    single = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                        minibatch_size=16,
+                                        compute_dtype="bfloat16"))
+    _, m0 = single.train_epoch(single.init_state(0), data)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=16,
+                                    dp=4, tp=2, compute_dtype="bfloat16"))
+    tr.attach_mesh(mesh)
+    base = dict(calls)
+    _, m1 = tr.train_epoch(tr.init_state(0), data)
+    fired = {k: calls[k] - base[k] for k in calls}
+    assert all(v > 0 for v in fired.values()), fired
+
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=5e-3, atol=0.1)
+
+    ev0 = single.eval_epoch(single.init_state(0), data)
+    ev1 = tr.eval_epoch(tr.init_state(0), data)
+    np.testing.assert_allclose(np.asarray(ev1), np.asarray(ev0),
+                               rtol=5e-3, atol=0.1)
