@@ -117,6 +117,15 @@ def main():
     }
     print(json.dumps(out))
 
+    # append to the machine-readable history feeding the BENCH_NOTES.md
+    # canonical table (regenerate with tools/update_bench_table.py)
+    from targetvae_tpu.utils.bench_log import record
+    record({"config": "flagship", "batch": batch, "dtype": mode,
+            "ms_per_step": round(step_s * 1e3, 2),
+            "images_per_sec": round(ips, 1),
+            "tflops_per_step": round(fl / 1e12, 3),
+            "mfu": round(mfu(fl, step_s), 4)})
+
 
 if __name__ == "__main__":
     main()

@@ -35,6 +35,22 @@ def build(name: str):
     if name == "mnist":
         from __graft_entry__ import _flagship_config
         return _flagship_config(), 50, 1, None
+    if name == "mnist-a":
+        # mode A (unimodal x unimodal): the reference's simplest inference
+        # family — one MLP over the flattened image emitting all latents
+        # (src/models.py:229-260, selected by train_mnist.py:551-566 when
+        # both inferences are unimodal). No attention grid, no group conv.
+        image_dim = 50
+        cfg = ModelConfig(
+            generator=GeneratorConfig(z_dim=2, hidden_dim=512, n_out=1,
+                                      num_layers=2, fourier_expansion=True,
+                                      fourier_sigma=2.0 / (image_dim - 1)),
+            encoder=EncoderConfig(t_inf="unimodal", r_inf="unimodal",
+                                  image_dim=image_dim, in_channels=1, z_dim=2,
+                                  kernels_num=128, num_layers=2,
+                                  theta_prior=np.pi),
+            likelihood=LikelihoodConfig(kind="bernoulli"))
+        return cfg, image_dim, 1, None
     if name in ("mnist-b", "mnist-b-p8"):
         # mode B (attention x unimodal): BASELINE configs[0]'s model family
         # at the flagship shape. groupconv 0 = plain image-sized conv
@@ -113,8 +129,8 @@ def build(name: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["mnist", "mnist-b", "mnist-b-p8",
-                                       "dsprites", "galaxy",
+    ap.add_argument("config", choices=["mnist", "mnist-a", "mnist-b",
+                                       "mnist-b-p8", "dsprites", "galaxy",
                                        "particles", "particles-ctf"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
@@ -126,8 +142,8 @@ def main():
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg, n, c, ctf = build(args.config)
-    batch = args.batch or {"mnist": 100, "mnist-b": 100, "mnist-b-p8": 100,
-                           "dsprites": 50, "galaxy": 50,
+    batch = args.batch or {"mnist": 100, "mnist-a": 100, "mnist-b": 100,
+                           "mnist-b-p8": 100, "dsprites": 50, "galaxy": 50,
                            "particles": 50, "particles-ctf": 50}[args.config]
     ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     dtype = None if args.f32 else "bfloat16"
@@ -159,13 +175,18 @@ def main():
           + ", ".join(f"{k}={v / 1e12:.2f}T" for k, v in top),
           file=sys.stderr)
     import json
-    print(json.dumps({
+    result = {
         "config": args.config, "batch": batch,
         "dtype": dtype or "f32", "ms_per_step": round(dt * 1e3, 2),
         "images_per_sec": round(batch / dt, 1),
         "tflops_per_step": round(fl["total"] / 1e12, 3),
         "mfu": round(mfu(fl["total"], dt), 4),
-    }))
+    }
+    print(json.dumps(result))
+    # history feeding the BENCH_NOTES.md canonical table; regenerate it with
+    # tools/update_bench_table.py (tests/test_bench_table.py guards drift)
+    from targetvae_tpu.utils.bench_log import record
+    record(result)
 
 
 if __name__ == "__main__":
