@@ -16,6 +16,27 @@ mode-B/C posterior block (softmax + Gumbel + expected moments + dx + KL)
 with the cell axis sharded over the mesh's 'model' axis and the batch axis
 left on 'data'. compute_elbo calls it when the Trainer enables SP
 (TrainConfig.sp / the --sp CLI flag).
+
+Communication bill (measured from compiled HLO,
+tests/test_parallel.py::test_sp_collective_bytes_scale_inverse_with_model_axis):
+the kernel-SP tier's per-device traffic per step is
+
+    all_to_all:  2 * (3 + 2*z_dim) * 4 * B * cells_p / (dp * T)  bytes
+    all_reduce:  O(params + B)  (grad psums + the LSE/moment partials)
+
+where T = the 'model' axis size, cells_p = cells rounded up to T*1024, f32
+elements, and the leading 2 is forward + backward (an all_to_all's VJP is
+the inverse all_to_all). Nothing communicates at the O(B * cells)
+replicated-grid scale.
+
+When to use --sp: the exchange pays for itself once a device's share of
+the posterior inputs stops fitting alongside the lift activations, or once
+the posterior's VPU time dominates the step — in practice grids of ~16k+
+cells (P12+ at 65x65, i.e. k >= 64 attention maps with groupconv >= 12) at
+EMPIAR batch sizes. Below that the all_to_all latency (~10 us/hop on ICI)
+buys nothing: the whole grid already fits per-device, so prefer plain
+DP/TP. The volume formula above gives the exact bytes to weigh against the
+~4.5e10 B/s per-ICI-link budget.
 """
 
 from __future__ import annotations

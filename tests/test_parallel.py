@@ -537,6 +537,120 @@ def test_multichip_hlo_sp_collective_structure():
     assert len(_collective_shapes(hlo, "all-reduce")) > 0
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1, "c64": 8, "c128": 16}
+
+
+def _collective_bytes(hlo: str, op: str) -> int:
+    """Per-device result bytes summed over every `op` in the module."""
+    return sum(n * _DTYPE_BYTES.get(dtype, 4)
+               for dtype, _, n in _collective_shapes(hlo, op))
+
+
+def _force_interpret_kernels(monkeypatch):
+    """Gate the Pallas kernel paths on (backend 'tpu') with every kernel in
+    interpret mode, so kernel-tier steps can be lowered AND compiled on the
+    CPU backend for HLO inspection."""
+    import targetvae_tpu.kernels.decoder_pose as DP
+    import targetvae_tpu.kernels.lifted_encoder as LE
+    import targetvae_tpu.kernels.mix_heads as MH
+    import targetvae_tpu.kernels.posterior as PK
+    import targetvae_tpu.parallel.grid_softmax as GS
+
+    orig = (LE.fused_lifted_encoder, PK.fused_posterior,
+            DP.fused_pose_decoder, MH.fused_lift_act_mix_heads,
+            GS.sp_posterior_kernel)
+    monkeypatch.setattr(LE, "fused_lifted_encoder",
+                        lambda *a, **kw: orig[0](*a, **{**kw,
+                                                        "interpret": True}))
+    monkeypatch.setattr(PK, "fused_posterior",
+                        lambda *a, **kw: orig[1](*a, **{**kw,
+                                                        "interpret": True}))
+    monkeypatch.setattr(DP, "fused_pose_decoder",
+                        lambda *a, **kw: orig[2](*a, **{**kw,
+                                                        "interpret": True}))
+    monkeypatch.setattr(MH, "fused_lift_act_mix_heads",
+                        lambda *a, **kw: orig[3](*a, **{**kw,
+                                                        "interpret": True}))
+    # interpret is the 4th positional arg (axis, sig_r, zd, interpret, ...)
+    monkeypatch.setattr(
+        GS, "sp_posterior_kernel",
+        lambda axis, sig_r, zd, interpret, *a: orig[4](axis, sig_r, zd,
+                                                       True, *a))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def _sp_step_hlo(model, batch, dp, tp):
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3, dp=dp, tp=tp,
+                                         sp=True, compute_dtype="bfloat16"))
+    mesh = make_mesh(jax.devices()[:dp * tp], data=dp, model=tp)
+    trainer.attach_mesh(mesh)
+    assert trainer._use_sp_shardmap(), "kernel-SP path not engaged"
+    state = shard_state(mesh, trainer.init_state(0))
+    d = model.cfg.encoder.image_dim
+    y = jax.random.uniform(jax.random.key(1), (batch, d, d, 1))
+    ys, _ = shard_batch(mesh, y)
+    return jax.jit(trainer._step_impl).lower(state, ys).compile().as_text()
+
+
+def test_sp_collective_bytes_scale_inverse_with_model_axis(monkeypatch):
+    """SP's communication bill (VERDICT r3 #7): the Ulysses batch<->cell
+    all_to_all moves each device's (B/(dp*T), cells) posterior inputs ONCE —
+    per-device bytes O(B*cells/(dp*T)) that HALVE when the 'model' axis
+    doubles — and the cell reductions psum O(B)-sized partials. Nothing may
+    communicate at the replicated O(B*cells) scale a cell-axis all-gather
+    would cost. The per-device all_to_all volume formula this pins down:
+
+        bytes/device ~= (3 + 2*z_dim) * 4 * B * cells_padded / (dp * T)
+
+    (attn, th_mu, th_logstd are (B_l, cells); z_mu, z_logstd add z_dim
+    lanes each; f32. cells_padded = cells rounded up to T*1024.)
+
+    Measured on the PRODUCTION path: the kernel-SP tier (_loss_fn_sp),
+    compiled with interpret-mode kernels so the CPU backend can build the
+    same SPMD module the TPU runs."""
+    _force_interpret_kernels(monkeypatch)
+    model = _model()
+    zd = model.cfg.encoder.z_dim
+    B = 16
+
+    hlo_t2 = _sp_step_hlo(model, B, dp=2, tp=2)
+    hlo_t4 = _sp_step_hlo(model, B, dp=2, tp=4)
+
+    a2a_t2 = _collective_bytes(hlo_t2, "all-to-all")
+    a2a_t4 = _collective_bytes(hlo_t4, "all-to-all")
+    assert a2a_t2 > 0 and a2a_t4 > 0, "SP step lost its Ulysses exchange"
+
+    # (a) the volume matches the formula EXACTLY at both T — this IS the
+    # O(B*cells_p/(dp*T)) law: with real grids (cells >> T*1024) bytes halve
+    # when T doubles; at this toy scale cells_p == T*1024 (pure padding) so
+    # the two volumes are equal. The 2x is the backward pass: the VJP of an
+    # all_to_all is the inverse all_to_all, so each array crosses twice.
+    from targetvae_tpu.models.encoders import attn_dim_for
+    hp = attn_dim_for(model.cfg.encoder)
+    cells = hp * hp * model.cfg.encoder.groupconv
+    for tp, a2a in ((2, a2a_t2), (4, a2a_t4)):
+        cells_p = -(-cells // (tp * 1024)) * (tp * 1024)
+        expect = 2 * (3 + 2 * zd) * 4 * B * cells_p // (2 * tp)
+        assert a2a == expect, (tp, a2a, expect, cells, cells_p)
+
+    # (b) growing T never grows the exchange (no O(B*cells) re-replication)
+    assert a2a_t4 <= a2a_t2, (a2a_t2, a2a_t4)
+
+    # (c) reductions are O(params + B), never O(B*cells): each all-reduce
+    # operand is a gradient psum (bounded by the largest parameter) or a
+    # batch-scale LSE/moment partial — a cell-axis design error would show
+    # up here as a (B, cells)-sized all-reduce
+    params = Trainer(model, TrainConfig()).init_state(0).params
+    max_leaf = max(x.size for x in jax.tree.leaves(params))
+    for tp, hlo in ((2, hlo_t2), (4, hlo_t4)):
+        reduces = _collective_shapes(hlo, "all-reduce")
+        assert reduces, "SP step lost its psums"
+        biggest = max(n for _, _, n in reduces)
+        assert biggest <= max(max_leaf, 64 * B), (biggest, max_leaf)
+
+
 def test_sp_mesh_kernel_path_mode_b_with_ctf(monkeypatch):
     """The kernel-SP path (_loss_fn_sp) composed with mode B's fast tier AND
     the gaussian+CTF+mask likelihood — every fused kernel stays live and the
