@@ -55,6 +55,13 @@ def main(argv=None):
     z_values, _, _ = embed_dataset(model, params, images, args.minibatch_size)
     cluster = run_clustering(z_values, args.clustering, args.n_clusters)
 
+    # galaxy zoo ships no labels (the reference colors its z-scatter by
+    # cluster id only, clustering_galaxy.py:303-310); persist the
+    # assignments + embeddings so external label sets can score them, the
+    # same artifact clustering_particles.py writes
+    np.save(os.path.join(path_prefix, "cluster_assignments.npy"), cluster)
+    np.save(os.path.join(path_prefix, "z_values.npy"), z_values)
+
     save_tsne(os.path.join(path_prefix, "tsne.jpg"), z_values, cluster)
 
     if args.z_dim == 2 and z_values.shape[1] >= 2:

@@ -4,6 +4,7 @@ and defaults (SURVEY.md section 5 config row), and config construction."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Optional
 
@@ -117,8 +118,20 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
 
 
 def select_device(device_index: int) -> None:
-    """-1 -> CPU; otherwise the i-th accelerator if present."""
+    """-1 -> CPU; otherwise the i-th accelerator if present.
+
+    Also enables JAX's persistent compilation cache (overridable via
+    TARGETVAE_COMPILE_CACHE; empty string disables): Pallas/Mosaic compiles
+    go through a slow AOT helper on this backend (minutes for the bf16 train
+    step), and without the on-disk cache every CLI invocation pays that
+    again."""
     import jax
+    cache = os.environ.get("TARGETVAE_COMPILE_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".jax_cache"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if device_index == -1:
         jax.config.update("jax_platforms", "cpu")
         return
