@@ -92,7 +92,14 @@ def _fwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     v = v_ref[0, :n, :]
     p = p_ref[0, 0]
     q = q_ref[0, 0]
-    f16 = _features(u, v, p, q, tr, n, F).astype(jnp.bfloat16)
+    if _DEBUG_FBUILD == "ablate":
+        # timing apparatus ONLY (wrong math): replace the feature build with
+        # a near-free iota so (kernel_old - kernel_ablate) measures the
+        # build's true in-situ cost for the FLOP-floor argument
+        f16 = (jax.lax.broadcasted_iota(jnp.int32, (tr * n, F), 1)
+               .astype(jnp.bfloat16) * (1.0 / F))
+    else:
+        f16 = _features(u, v, p, q, tr, n, F).astype(jnp.bfloat16)
     pre1 = (jnp.dot(f16, w1_ref[...], preferred_element_type=jnp.float32)
             + b1_ref[...] + hz_ref[pl.ds(b_idx % 8, 1), :])
     h = _act(pre1, act_kind).astype(jnp.bfloat16)
@@ -239,21 +246,30 @@ def _bwd_kernel(u_ref, v_ref, p_ref, q_ref, hz_ref, w1_ref, b1_ref, wh_ref,
     gxv = -1.0 + (2.0 / (n - 1)) * jx
     gyv = 1.0 - (2.0 / (hp_rows - 1)) * iy
     wred = jnp.concatenate([ones, gxv, gyv], axis=1)    # (px, 3)
-    n_chunks = _DEBUG_NCHUNKS or (2 if F % 256 == 0 else 1)
+    # 4 chunks measured best at F=1024 (back-to-back sweep, BENCH_NOTES
+    # round-4 entry: nc=2 10.98-11.15 ms fwd+bwd, nc=1 10.91, nc=4 10.80)
+    n_chunks = _DEBUG_NCHUNKS or (4 if F % 512 == 0 else
+                                  (2 if F % 256 == 0 else 1))
     Fc = F // n_chunks
     dw1_parts, red_parts = [], []
     for c in range(n_chunks):
         sl = slice(c * Fc, (c + 1) * Fc)
         uc, vc, pc, qc = u[:, sl], v[:, sl], p[:, sl], q[:, sl]
-        f16 = _features(uc, vc, pc, qc, tr, n, Fc).astype(jnp.bfloat16)
+        if _DEBUG_FBUILD == "ablate":     # timing apparatus, wrong math
+            f16 = (jax.lax.broadcasted_iota(jnp.int32, (tr * n, Fc), 1)
+                   .astype(jnp.bfloat16) * (1.0 / Fc))
+            s = (jax.lax.broadcasted_iota(jnp.int32, (tr * n, Fc), 0)
+                 .astype(jnp.float32) * (1.0 / (tr * n)))
+        else:
+            f16 = _features(uc, vc, pc, qc, tr, n, Fc).astype(jnp.bfloat16)
+            s = (vc[None, :, :] * pc[:, None, :]
+                 + uc[None, :, :] * qc[:, None, :]).reshape(tr * n, Fc)
         dw1_parts.append(jax.lax.dot_general(
             f16, dpre1_16, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))        # (Fc, H)
         df3 = jax.lax.dot_general(
             dpre1_16, w1_ref[sl, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # (px, Fc)
-        s = (vc[None, :, :] * pc[:, None, :]
-             + uc[None, :, :] * qc[:, None, :]).reshape(tr * n, Fc)
         T = df3 * s                                     # (px, Fc) f32
         red_parts.append(jax.lax.dot_general(
             wred, T, (((0,), (0,)), ((), ())),
@@ -494,6 +510,18 @@ _fused.defvjp(_vjp_fwd, _vjp_bwd)
 # process's first compile (bench sweeps only; 0 = tuned defaults).
 _DEBUG_TR = int(os.environ.get("TARGETVAE_DECODER_TR", "0"))
 _DEBUG_NCHUNKS = int(os.environ.get("TARGETVAE_DEC_NCHUNKS", "0"))
+# NEGATIVE RESULT (2026-08-21, tools/bench_decoder.py mnist, fwd / fwd+bwd
+# ms): two re-formulations of the feature build both LOSE to the f32
+# (tr, n, F) broadcast + collapse + cast this kernel ships ("old" 4.12 /
+# 11.15): bf16 3-D builds measured 4.23 / 11.81 and per-image-row bf16 2-D
+# builds with per-row matmuls 5.15 / 12.83 — the broadcast/collapse is NOT
+# the kernel's bottleneck, bf16 VPU ops don't run faster here, and M=50
+# per-row matmuls cost more in launch overhead than any build saving (both
+# variants deleted; BENCH_NOTES.md). The one value this knob keeps is the
+# floor-measurement apparatus: "ablate" swaps the f/s builds for near-free
+# iotas (WRONG MATH) so kernel_default - kernel_ablate pins the build's
+# in-situ cost.
+_DEBUG_FBUILD = os.environ.get("TARGETVAE_DEC_FBUILD", "")
 
 
 def pose_decoder_supported(cfg) -> bool:

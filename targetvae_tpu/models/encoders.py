@@ -211,6 +211,57 @@ def _lift_batch_pad(hp: int, cols: int) -> int:
     return 0
 
 
+def _lift_wgrad(lhs: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Weight-grad of the 1-D lift conv, phrased to consume BOTH operands in
+    their native layouts: drhs[o, ci, dw] = sum_{n, w} lhs[n, ci, w+dw] *
+    g[w, n, o]. The contraction runs over (batch n, output position w) with
+    the k filter taps as the output spatial axis; ConvDimensionNumbers maps
+    the physical NCW lhs and the WNC bf16 cotangent straight into that conv
+    with a f32 accumulator.
+
+    MEASURED (2026-08-21, v5e): XLA's own rhs-transpose rule is equally
+    fast — standalone 15.68 (auto) vs 15.64 ms (this) at the EMPIAR shape,
+    167 TF/s both (tools/bench_lift_wgrad.py), and the full particles-ctf
+    step is 64.5 vs 64.7 ms (TARGETVAE_LIFT_WGRAD=auto A/B). The round-3
+    ROADMAP hypothesis of ~5 ms of cotangent-transpose glue in the auto
+    path was WRONG. Kept anyway: it pins the wgrad's layout contract
+    explicitly (immune to transpose-rule regressions), accumulates in f32
+    where the auto path emits bf16, and costs nothing."""
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(1, 0, 2),     # lhs (n, ci, w): batch=ci, feature=n
+        rhs_spec=(2, 1, 0),     # g (w, n, o): out-feature=o, in-feature=n
+        out_spec=(1, 0, 2))     # drhs (o, ci, dw)
+    return jax.lax.conv_general_dilated(
+        lhs, g.astype(lhs.dtype), (1,), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def _lift_conv_op(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """The 1-D lift conv with a hand-written weight-grad (see _lift_wgrad).
+    lhs (n, Ck, w) bf16 NCW; rhs (RK, Ck, k) bf16 OIW; out (W', n, RK) WNC.
+    The lhs cotangent is structurally zero (images are data — the caller
+    stop_gradients lhs; the returned zeros are DCE'd behind it)."""
+    return jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), "VALID", dimension_numbers=("NCW", "OIW", "WNC"))
+
+
+def _lift_conv_op_fwd(lhs, rhs):
+    # the rhs cotangent must match rhs's dtype; only lhs is saved, so
+    # require the dtypes to agree (they always do: bf16 on the TPU tiers,
+    # f32 in the parity tests). A zero-size dtype-witness residual instead
+    # broke GSPMD sharding inference inside the shard_map loss.
+    assert lhs.dtype == rhs.dtype, (lhs.dtype, rhs.dtype)
+    return _lift_conv_op(lhs, rhs), lhs
+
+
+def _lift_conv_op_bwd(lhs, g):
+    return jnp.zeros_like(lhs), _lift_wgrad(lhs, g).astype(lhs.dtype)
+
+
+_lift_conv_op.defvjp(_lift_conv_op_fwd, _lift_conv_op_bwd)
+
+
 def _lift_conv1d(y: jnp.ndarray, wc: jnp.ndarray, *, C: int, k: int,
                  pad: int, hp: int, pad_batch: bool):
     """The 2-D lift lowered as a 1-D conv over image rows (the big-k tier).
@@ -246,9 +297,13 @@ def _lift_conv1d(y: jnp.ndarray, wc: jnp.ndarray, *, C: int, k: int,
     rhs = jnp.transpose(
         wc.astype(jnp.bfloat16).reshape(C, k, k, RK),
         (3, 0, 2, 1)).reshape(RK, C * k, k)
-    pre1_t = jax.lax.conv_general_dilated(
-        lhs, rhs, (1,), "VALID",
-        dimension_numbers=("NCW", "OIW", "WNC"))         # bf16 (H', cols+p, RK)
+    if os.environ.get("TARGETVAE_LIFT_WGRAD") == "auto":
+        # A/B escape hatch: XLA's autodiff wgrad (generic transpose rule)
+        pre1_t = jax.lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCW", "OIW", "WNC"))     # bf16 (H', cols+p, RK)
+    else:
+        pre1_t = _lift_conv_op(lhs, rhs)
     return pre1_t, cols, padc
 
 

@@ -168,3 +168,37 @@ def test_encoder_init_shapes():
         y = jnp.zeros((2, 8, 8, 1))
         out = encoder_apply(params, mode_cfg, y, key=jax.random.key(1))
         assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
+
+
+def test_lift_conv_custom_wgrad_matches_autodiff():
+    """The hand-written weight-grad conv (_lift_wgrad, native-layout
+    ConvDimensionNumbers) must equal XLA's own rhs-transpose of the lift
+    conv bit-for-bit at f32 (same contraction, same accumulation order up
+    to conv-emitter scheduling)."""
+    from targetvae_tpu.models.encoders import _lift_conv_op
+
+    rng = np.random.default_rng(0)
+    cols, ck, n2, rk, k = 24, 12, 30, 16, 9
+    lhs = jnp.asarray(rng.standard_normal((cols, ck, n2)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((rk, ck, k)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n2 - k + 1, cols, rk)), jnp.float32)
+
+    def ref_loss(rhs):
+        y = jax.lax.conv_general_dilated(
+            jax.lax.stop_gradient(lhs), rhs, (1,), "VALID",
+            dimension_numbers=("NCW", "OIW", "WNC"))
+        return jnp.sum(y * g)
+
+    def custom_loss(rhs):
+        return jnp.sum(_lift_conv_op(jax.lax.stop_gradient(lhs), rhs) * g)
+
+    ref = jax.grad(ref_loss)(rhs)
+    got = jax.grad(custom_loss)(rhs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # forward unchanged
+    np.testing.assert_allclose(
+        np.asarray(_lift_conv_op(lhs, rhs)),
+        np.asarray(jax.lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCW", "OIW", "WNC"))), rtol=1e-5, atol=1e-5)

@@ -88,10 +88,17 @@ def main() -> None:
             preferred_element_type=jnp.float32)           # (rk, k, ck)
         return jnp.sum(dr)
 
+    def wgrad_conv(lhs, g_out):
+        # the hand-written native-layout wgrad conv shipped as the lift
+        # conv's custom VJP (models/encoders.py::_lift_wgrad)
+        from targetvae_tpu.models.encoders import _lift_wgrad
+        return jnp.sum(_lift_wgrad(lhs, g_out))
+
     for label, fn, args in (
             ("fwd(materialized)", fwd, (lhs, rhs)),
             ("wgrad_auto", wgrad_auto, (lhs, g_out)),
-            ("wgrad_dot", wgrad_dot, (lhs, g_out))):
+            ("wgrad_dot", wgrad_dot, (lhs, g_out)),
+            ("wgrad_conv", wgrad_conv, (lhs, g_out))):
         dt, compile_s = _time(fn, *args)
         print(f"{name} {label:18s}: {dt * 1e3:7.2f} ms "
               f"{flops / dt / 1e12:7.1f} TF/s  (compile {compile_s:.1f}s)",

@@ -78,8 +78,10 @@ def main(batch=100):
 
     @jax.jit
     def enc_fwdbwd(p, y):
+        # the tier the step actually runs since round 3 (conv1d lift +
+        # fused mix_heads); the legacy patch kernel is _mode_c_kernel
         def loss(p):
-            outs = EN._mode_c_kernel(p["encoder"], ecfg, y)
+            outs = EN._mode_c_xla_matmul(p["encoder"], ecfg, y)
             return sum(jnp.sum(o.astype(jnp.float32) * 1e-3) for o in outs)
         return _scalarize(jax.grad(loss)(p))
 
