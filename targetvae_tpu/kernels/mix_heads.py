@@ -3,9 +3,10 @@
 The conv1d tier (models/encoders.py:_mode_c_xla_matmul) produces the lifted
 activation h1 (B*W', H', R*K) bf16 straight from XLA's implicit-GEMM conv;
 the remaining per-position work — the 1x1x1 mixing conv and the three fused
-heads (reference src/models.py:347-351) — is pure matmul FLOPs (~2.1 TFLOP
-fwd+bwd at the cryo-EM scale) but costs 23.4 ms in XLA because every
-intermediate (pre2, h2, dh2, dpre2) round-trips HBM in f32. This kernel runs
+heads (reference src/models.py:347-351) — is ~0.26 TFLOP of matmul fwd+bwd
+at the cryo-EM scale (utils/flops.py; an earlier ~2.1 T figure here was an
+8x miscount) but cost 23.4 ms in XLA because every intermediate (pre2, h2,
+dh2, dpre2) round-trips HBM in f32. This kernel runs
 the whole chain on VMEM tiles: h1 is read once (bf16), NOTHING is saved for
 the backward (h2 is recomputed from h1 in the bwd kernel — one extra mixing
 matmul beats the 640 MB residual write+read at EMPIAR scale; its activation
@@ -169,8 +170,11 @@ def _group_for(R: int, K: int, group: int = 0, bwd: bool = False) -> int:
     scale (R=8, K=128, tools/bench_mix_heads.py) with the h2-recompute bwd:
     fwd G=1 is best (recompute-free fwd pipelines its per-r matmuls well);
     the bwd, which now runs 6 matmuls per rotation, prefers G=2 (G=1 12.17
-    ms fwd+bwd standalone, G=2 11.41, G=4 14.4, G=8 21.5). The knob is kept
-    for other (R, K) regimes."""
+    ms fwd+bwd standalone, G=2 11.41, G=4 14.4, G=8 21.5). At the flagship
+    shape (N=152K) a round-4 sweep found G=2 best for the fwd too (1.98 vs
+    2.17 ms, ~0.2 ms/step available; BENCH_NOTES round-4 entry) — left on
+    the EMPIAR tuning pending a same-session fwd re-validation there. The
+    knob is kept for other (R, K) regimes."""
     if group:
         assert R % group == 0, (R, group)
         return group

@@ -52,11 +52,12 @@ def main() -> None:
     from __graft_entry__ import _flagship_config
     from jax.sharding import Mesh
     from targetvae_tpu.models import TargetVAE
+    from targetvae_tpu.parallel.pjit import shard_batch, shard_state
     from targetvae_tpu.train import Trainer
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg = _flagship_config()
-    y = np.asarray(jax.random.uniform(
+    y = jnp.asarray(jax.random.uniform(
         jax.random.key(1), (args.batch, 50, 50, 1)))
 
     # meshless baseline
@@ -64,21 +65,23 @@ def main() -> None:
     tr = Trainer(model, TrainConfig(learning_rate=2e-4,
                                     compute_dtype="bfloat16"))
     state = tr.init_state(0)
-    base_ms, _ = _time_steps(lambda s, yy: tr._train_step(s, jnp.asarray(yy)),
+    base_ms, _ = _time_steps(lambda s, yy: tr._train_step(s, yy),
                              state, y, args.steps)
     print(f"meshless   {base_ms:7.2f} ms/step", flush=True)
 
-    # 1x1 ('data','model') mesh: same step through the shard_map loss
+    # 1x1 ('data','model') mesh: same step through the shard_map loss,
+    # with state and batch committed to the mesh exactly as fit.py does
+    # (an uncommitted state forces per-step resharding)
     tr2 = Trainer(TargetVAE(cfg), TrainConfig(learning_rate=2e-4,
                                               compute_dtype="bfloat16"))
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("data", "model"))
     tr2.attach_mesh(mesh)
     assert tr2._use_mesh_shardmap()
-    state2 = tr2.init_state(0)
+    state2 = shard_state(mesh, tr2.init_state(0))
+    y2, _ = shard_batch(mesh, y, None)
     mesh_ms, _ = _time_steps(
-        lambda s, yy: tr2._train_step(s, jnp.asarray(yy)), state2, y,
-        args.steps)
+        lambda s, yy: tr2._train_step(s, yy), state2, y2, args.steps)
     print(f"1x1 mesh   {mesh_ms:7.2f} ms/step", flush=True)
     print(f"overhead   {mesh_ms - base_ms:+7.2f} ms "
           f"({(mesh_ms / base_ms - 1) * 100:+.1f}%)", flush=True)
