@@ -105,6 +105,14 @@ def add_train_args(parser: argparse.ArgumentParser) -> None:
                              "shuffle/gather/prefetch) instead of keeping "
                              "the whole train set in device memory — for "
                              "datasets that don't fit in HBM")
+    parser.add_argument("--stream-bf16", action="store_true",
+                        help="with --host-stream: stage batches (and CTF "
+                             "kernels) to the device in bfloat16, halving "
+                             "the host->device bytes — for "
+                             "bandwidth-starved links; compute under "
+                             "--compute-dtype bfloat16 rounds to bf16 "
+                             "anyway, this just moves the rounding onto "
+                             "the wire")
     parser.add_argument("--resume", default=None, metavar="RUN_DIR",
                         help="resume training from a previous run directory "
                              "(restores params, optimizer state, RNG, "
@@ -212,4 +220,5 @@ def train_config_from_args(args, **overrides) -> TrainConfig:
         dp=getattr(args, "dp", 1), tp=getattr(args, "tp", 1),
         sp=getattr(args, "sp", False),
         host_stream=getattr(args, "host_stream", False),
+        stream_bf16=getattr(args, "stream_bf16", False),
         **overrides)

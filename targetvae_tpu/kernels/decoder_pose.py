@@ -522,6 +522,16 @@ _DEBUG_NCHUNKS = int(os.environ.get("TARGETVAE_DEC_NCHUNKS", "0"))
 # iotas (WRONG MATH) so kernel_default - kernel_ablate pins the build's
 # in-situ cost.
 _DEBUG_FBUILD = os.environ.get("TARGETVAE_DEC_FBUILD", "")
+if _DEBUG_FBUILD:
+    # "ablate" deliberately computes WRONG features (floor-measurement
+    # apparatus) — a training run with this env var leaked would silently
+    # learn garbage, so shout at import (ADVICE r4)
+    import warnings
+
+    warnings.warn(
+        f"TARGETVAE_DEC_FBUILD={_DEBUG_FBUILD!r} is set: the pose decoder's "
+        "feature build is replaced by BENCH-ONLY (mathematically wrong) "
+        "ablation code. Never train with this.", stacklevel=2)
 
 
 def pose_decoder_supported(cfg) -> bool:

@@ -166,15 +166,15 @@ _TILE = 512   # rows per program: 3 bf16 + 2 f32 RK-wide tiles ~= 5 MB
 
 def _group_for(R: int, K: int, group: int = 0, bwd: bool = False) -> int:
     """Rotations per block-diagonal matmul group (kron(I_G, w2) trades
-    G-fold redundant FLOPs for R/G-fold fewer matmuls). Measured at EMPIAR
-    scale (R=8, K=128, tools/bench_mix_heads.py) with the h2-recompute bwd:
-    fwd G=1 is best (recompute-free fwd pipelines its per-r matmuls well);
-    the bwd, which now runs 6 matmuls per rotation, prefers G=2 (G=1 12.17
-    ms fwd+bwd standalone, G=2 11.41, G=4 14.4, G=8 21.5). At the flagship
-    shape (N=152K) a round-4 sweep found G=2 best for the fwd too (1.98 vs
-    2.17 ms, ~0.2 ms/step available; BENCH_NOTES round-4 entry) — left on
-    the EMPIAR tuning pending a same-session fwd re-validation there. The
-    knob is kept for other (R, K) regimes."""
+    G-fold redundant FLOPs for R/G-fold fewer matmuls). Three-shape sweep
+    (round 5, tools/bench_mix_heads.py, R=8 K=128, repeated post-warmup):
+    fwd G=1 wins at ALL of flagship N=152,256 (1.79 vs 1.99 ms), dsprites
+    N=211,640 (2.05 vs 2.31) and EMPIAR N=312,208 (3.30 vs 3.47) — round
+    4's one-off flagship G=2 fwd advantage did not reproduce (its sweep was
+    compile-adjacent; see BENCH_NOTES round-5 entry). The bwd, which runs 6
+    matmuls per rotation, prefers G=2 everywhere (flagship 2.4 vs 2.8,
+    dsprites 3.65 vs 4.37, EMPIAR 5.5 vs 6.3 ms). Hence the shape-
+    independent defaults below; the knob is kept for other (R, K) regimes."""
     if group:
         assert R % group == 0, (R, group)
         return group

@@ -237,11 +237,11 @@ def _lift_wgrad(lhs: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.custom_vjp
-def _lift_conv_op(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def _lift_conv_op_p(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """The 1-D lift conv with a hand-written weight-grad (see _lift_wgrad).
     lhs (n, Ck, w) bf16 NCW; rhs (RK, Ck, k) bf16 OIW; out (W', n, RK) WNC.
-    The lhs cotangent is structurally zero (images are data — the caller
-    stop_gradients lhs; the returned zeros are DCE'd behind it)."""
+    The lhs cotangent is structurally zero — callers go through
+    _lift_conv_op, which cuts the lhs tangent path with stop_gradient."""
     return jax.lax.conv_general_dilated(
         lhs, rhs, (1,), "VALID", dimension_numbers=("NCW", "OIW", "WNC"))
 
@@ -252,14 +252,24 @@ def _lift_conv_op_fwd(lhs, rhs):
     # f32 in the parity tests). A zero-size dtype-witness residual instead
     # broke GSPMD sharding inference inside the shard_map loss.
     assert lhs.dtype == rhs.dtype, (lhs.dtype, rhs.dtype)
-    return _lift_conv_op(lhs, rhs), lhs
+    return _lift_conv_op_p(lhs, rhs), lhs
 
 
 def _lift_conv_op_bwd(lhs, g):
     return jnp.zeros_like(lhs), _lift_wgrad(lhs, g).astype(lhs.dtype)
 
 
-_lift_conv_op.defvjp(_lift_conv_op_fwd, _lift_conv_op_bwd)
+_lift_conv_op_p.defvjp(_lift_conv_op_fwd, _lift_conv_op_bwd)
+
+
+def _lift_conv_op(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Lift conv with the zero-lhs-cotangent contract enforced structurally:
+    stop_gradient(lhs) here makes the custom VJP's zero lhs cotangent the
+    TRUE gradient for every caller, not an assumption about call sites
+    (images are data in this model family). Note the custom_vjp also makes
+    this op reverse-mode only: jax.jvp/jacfwd through the encoder's big-k
+    tier raises — use jax.grad (or vjp-of-vjp for HVPs)."""
+    return _lift_conv_op_p(jax.lax.stop_gradient(lhs), rhs)
 
 
 def _lift_conv1d(y: jnp.ndarray, wc: jnp.ndarray, *, C: int, k: int,

@@ -97,5 +97,13 @@ def param_shardings(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
                 ok = False
         if not ok:
             spec = P()
-        return NamedSharding(mesh, spec)
+        # normalize away trailing Nones: P('model', None) and P('model') are
+        # the same sharding but compare unequal in the jit cache key, and
+        # XLA reports output shardings in the stripped form — emitting the
+        # stripped form here keeps step 2's input shardings equal to step
+        # 1's outputs (no spurious retrace)
+        t = tuple(spec)
+        while t and t[-1] is None:
+            t = t[:-1]
+        return NamedSharding(mesh, P(*t))
     return jax.tree_util.tree_map_with_path(shard, params)

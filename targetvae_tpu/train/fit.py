@@ -118,8 +118,11 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
             np.asarray(y_train),
             None if ctf_train is None else np.asarray(ctf_train),
             batch_size=train_cfg.minibatch_size, seed=train_cfg.seed,
-            sharding=sharding)
-        logger.line(f"# host-streaming train data ({len(train_pipe)} images)")
+            sharding=sharding,
+            wire_dtype="bfloat16" if train_cfg.stream_bf16 else None)
+        wire = " (bf16 wire)" if train_cfg.stream_bf16 else ""
+        logger.line(f"# host-streaming train data ({len(train_pipe)} "
+                    f"images){wire}")
 
     state_box = {"state": state}
     stopper.save_fn = lambda: save_model_pair(

@@ -131,6 +131,14 @@ class Trainer:
         return (self._mesh, "model")
 
     def _loss_fn(self, params, y, key, ctf, w=None):
+        # bf16-wire streamed batches (data/pipeline wire_dtype) are upcast
+        # back to f32 on device: the halved H2D bytes are the point, and
+        # upcasting here keeps the model's internal dtype flow identical to
+        # the f32 wire (the rounding already happened on the wire)
+        if y.dtype == jnp.bfloat16:
+            y = y.astype(jnp.float32)
+        if ctf is not None and ctf.dtype == jnp.bfloat16:
+            ctf = ctf.astype(jnp.float32)
         # Ragged tail batches are padded by the caller (train_epoch/
         # eval_epoch) to the next mesh-divisible size with ZERO-WEIGHT rows
         # (w sums to 1 over the real rows), so they keep the kernel
@@ -312,6 +320,14 @@ class Trainer:
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, key=key)
+        if self._mesh is not None:
+            # pin the output state to shard_state's layout: left to itself
+            # XLA re-lays-out the Adam moments (bias mu/nu P() -> P('model')),
+            # so the SECOND step of every mesh run would see different input
+            # shardings and retrace — one whole extra compile per run
+            from ..parallel.mesh import param_shardings
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, param_shardings(self._mesh, new_state))
         return new_state, jnp.stack([-neg_elbo, log_p, kl])
 
     def _eval_impl(self, state: TrainState, y, key, ctf=None, w=None):
@@ -428,20 +444,29 @@ class Trainer:
 
     def train_epoch_stream(self, state: TrainState, batches, progress=None,
                            ) -> Tuple[TrainState, Tuple[float, float, float]]:
-        """One epoch over a host iterator of (y, ctf) device batches (see
-        data/pipeline.HostDataPipeline) — the streaming path for datasets that
-        don't fit in HBM. Batches of equal size reuse one compiled step.
+        """One epoch over a host iterator of StreamBatch(y, ctf, w, n_real)
+        device batches (see data/pipeline.HostDataPipeline) — the streaming
+        path for datasets that don't fit in HBM. The pipeline emits every
+        batch at the fixed batch size (ragged tails arrive zero-weight
+        padded), so the whole epoch — tail included — reuses ONE compiled
+        step and, on a mesh, stays on the kernel shard_map path. Bare
+        (y, ctf) iterators remain accepted for ad-hoc feeding.
 
         progress: optional callback(images_seen, elbo, gen_loss, kl), called
         after every minibatch like the reference's \\r stderr line."""
         metrics = []
         weights = []
         seen = 0
-        for y, ctf in batches:
-            state, m = self._train_step(state, y, ctf)
+        for b in batches:
+            if len(b) == 2:          # bare (y, ctf) pair
+                y, ctf = b
+                w, n_real = None, int(y.shape[0])
+            else:
+                y, ctf, w, n_real = b
+            state, m = self._train_step(state, y, ctf, w)
             metrics.append(np.asarray(m)[None])
-            weights.append(float(y.shape[0]))
-            seen += int(y.shape[0])
+            weights.append(float(n_real))
+            seen += int(n_real)
             if progress is not None:
                 progress(seen, *_streaming_means(metrics, weights))
         return state, _weighted_mean(np.concatenate(metrics), weights)

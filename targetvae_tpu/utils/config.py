@@ -117,6 +117,11 @@ class TrainConfig:
     # stream train batches from host RAM (shuffle/gather/prefetch pipeline)
     # instead of keeping the whole train set in HBM
     host_stream: bool = False
+    # bf16 wire format for --host-stream: stage y (and CTF kernels) to the
+    # device as bfloat16, halving the exposed H2D bytes on bandwidth-starved
+    # links. Compute already runs in bf16 under --compute-dtype bfloat16, so
+    # the rounding happens one step earlier on the wire.
+    stream_bf16: bool = False
 
 
 def fourier_sigma_for(image_dim: int) -> float:

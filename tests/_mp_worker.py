@@ -67,8 +67,9 @@ def main():
 
     step = jax.jit(trainer._step_impl)
     n_steps = 0
-    for y, _ in pipe.epoch(0):
-        state, metrics = step(state, y)
+    for y, _, w, n_real in pipe.epoch(0):
+        assert n_real == 16                 # 32 rows split evenly: no tail
+        state, metrics = step(state, y, None, w)
         n_steps += 1
     metrics = jax.device_get(metrics)
     assert n_steps == 2, n_steps                   # 32 rows / batch 16

@@ -92,3 +92,27 @@ def test_history_lines_are_json():
             if line.strip():
                 entry = json.loads(line)
                 assert "config" in entry, f"line {i + 1} lacks 'config'"
+
+
+def test_record_auto_splices_table(tmp_path, monkeypatch):
+    """record() to the default history path regenerates the notes table in
+    place (VERDICT r4 #7: benching must leave the committed table exactly
+    current, not within-5% of it)."""
+    import targetvae_tpu.utils.bench_log as bl
+
+    hist = tmp_path / "hist.jsonl"
+    notes = tmp_path / "notes.md"
+    notes.write_text("head\n" + bl.render_block({}) + "\nfoot\n")
+    monkeypatch.setattr(bl, "RESULTS_PATH", str(hist))
+    monkeypatch.setattr(bl, "NOTES_PATH", str(notes))
+    bl.record({"config": "flagship", "batch": 100, "ms_per_step": 17.0,
+               "images_per_sec": 5882.0, "tflops_per_step": 1.795,
+               "mfu": 0.5362})
+    parsed = bl.extract_table_values(notes.read_text())
+    assert abs(parsed["flagship"]["images_per_sec"] - 5882.0) < 1
+    # explicit non-default paths (unit tests, scratch runs) leave notes alone
+    before = notes.read_text()
+    bl.record({"config": "flagship", "batch": 100, "ms_per_step": 1.0,
+               "images_per_sec": 1.0, "tflops_per_step": 1.0, "mfu": 0.1},
+              path=str(tmp_path / "other.jsonl"))
+    assert notes.read_text() == before

@@ -162,11 +162,13 @@ def test_pose_decoder_parity(num_layers, n_out):
     # error vs the f32 reference is bf16 FORWARD precision, compounding with
     # depth; the kernel VJP itself matches a bf16-cast-identical jnp
     # transcription to <0.5% on every leaf at num_layers=4 (verified offline).
-    # The tolerance is noise-calibrated, not a correctness bound: two
-    # 1-ulp-equivalent feature-build orders (TARGETVAE_DEC_FBUILD old/loop)
-    # measure 0.13 relative distance FROM EACH OTHER on the theta leaf at
-    # this shape, so anything ~0.2 is the cancellation floor; the params/z
-    # leaves (tight 0.15) are the real parity signal.
+    # The tolerance is noise-calibrated, not a correctness bound:
+    # tools/calibrate_pose_tol.py (reproducible in-repo, ADVICE r4)
+    # measures the f32 reference AGAINST ITSELF under 1 bf16 ulp of
+    # parameter noise at this exact shape — theta 0.45, dx 0.25 relative
+    # distance — so kernel-vs-ref distances ~0.1-0.2 on those leaves are
+    # cancellation floor; the params/z leaves (tight 0.15) are the real
+    # parity signal.
     pose_tol = 0.2 if num_layers == 2 else 0.75
     for i, (a, b) in enumerate(zip(jax.tree.leaves(gr), jax.tree.leaves(gk))):
         assert not bool(jnp.isnan(b).any())

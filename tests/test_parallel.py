@@ -50,8 +50,10 @@ def test_param_shardings_applied():
     state = shard_state(mesh, trainer.init_state(0))
     spec = state.params["encoder"]["conv1"]["w"].sharding.spec
     assert spec == jax.sharding.PartitionSpec("model")
+    # trailing Nones are normalized away (P('model', None) == P('model') as
+    # a placement, but the jit cache key distinguishes them — mesh.py)
     spec = state.params["generator"]["hidden"][0]["w"].sharding.spec
-    assert spec == jax.sharding.PartitionSpec("model", None)
+    assert spec == jax.sharding.PartitionSpec("model")
     # Adam moments follow the same layout
     mu = state.opt_state.inner_state[0].mu
     assert mu["encoder"]["conv1"]["w"].sharding.spec == \
@@ -931,4 +933,61 @@ def test_train_epoch_ragged_dataset_on_mesh_matches_single(monkeypatch):
     ev0 = single.eval_epoch(single.init_state(0), data)
     ev1 = tr.eval_epoch(tr.init_state(0), data)
     np.testing.assert_allclose(np.asarray(ev1), np.asarray(ev0),
+                               rtol=5e-3, atol=0.1)
+
+
+def test_streamed_ragged_epoch_on_mesh_single_compile(monkeypatch):
+    """A mesh + --host-stream epoch over a 42-row dataset (batch 16 -> 2 full
+    + tail 10, zero-weight padded to 16 by HostDataPipeline): ONE compiled
+    step program for the whole epoch (the always-present weight operand means
+    the tail shares the full batches' trace), kernels live on EVERY step
+    including the tail (inverted counter), and epoch metrics equal the same
+    shuffled batches fed unpadded to a single-device kernel trainer
+    (VERDICT r4 #2)."""
+    from targetvae_tpu.data.pipeline import HostDataPipeline
+    from targetvae_tpu.parallel.mesh import batch_sharding
+
+    model = _model()
+    _zero_noise(monkeypatch)
+    calls = {"lift": 0, "posterior": 0, "decoder": 0}
+    _interpret_kernels(monkeypatch, calls)
+
+    data = np.asarray(jax.random.uniform(jax.random.key(1), (42, 16, 16, 1)))
+
+    # single-device baseline: identical batch order (the pipeline's host
+    # shuffle is seed-deterministic), ragged tail fed unpadded
+    order = np.random.RandomState(0).permutation(42)
+    single = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=16,
+                                        compute_dtype="bfloat16"))
+    bare = [(jnp.asarray(data[order[lo:lo + 16]]), None)
+            for lo in range(0, 42, 16)]
+    _, m0 = single.train_epoch_stream(single.init_state(0), bare)
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=16,
+                                    dp=4, tp=2, compute_dtype="bfloat16"))
+    tr.attach_mesh(mesh)
+    assert tr._use_mesh_shardmap()
+    state = shard_state(mesh, tr.init_state(0))
+    pipe = HostDataPipeline(data, batch_size=16, seed=0,
+                            sharding=batch_sharding(mesh))
+    base = dict(calls)
+    state, m1 = tr.train_epoch_stream(state, pipe.epoch(0))
+    fired = {k: calls[k] - base[k] for k in calls}
+    # kernels traced into the epoch's ONE compiled program (counters fire at
+    # trace time, not per step)
+    assert all(v > 0 for v in fired.values()), fired
+    assert int(jax.device_get(state.step)) == 3
+    # one program for full batches AND the padded tail: <=2 jit cache
+    # entries (1 compile + jax's one-time output-sharding re-key, which
+    # full-batch-only feeds also incur), where the pre-padding behavior
+    # added a third, genuinely recompiled ragged-shape GSPMD-fallback entry
+    n_entries = tr._train_step._cache_size()
+    assert n_entries <= 2, n_entries
+    # a second epoch — tail included — adds NO new program
+    state, _ = tr.train_epoch_stream(state, pipe.epoch(1))
+    assert tr._train_step._cache_size() == n_entries
+    assert int(jax.device_get(state.step)) == 6
+
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
                                rtol=5e-3, atol=0.1)

@@ -13,11 +13,19 @@ from targetvae_tpu.utils.config import (
 def test_pipeline_covers_epoch():
     images = np.random.RandomState(0).rand(53, 8, 8, 1).astype(np.float32)
     pipe = HostDataPipeline(images, batch_size=16, seed=1)
-    seen = 0
     batches = list(pipe.epoch(0))
-    sizes = [int(y.shape[0]) for y, _ in batches]
-    assert sum(sizes) == 53
-    assert sizes[:-1] == [16, 16, 16] and sizes[-1] == 5
+    # every batch arrives at the fixed size; the ragged tail is zero-weight
+    # padded (drop_last=False semantics: all 53 rows are real data)
+    assert [int(b.y.shape[0]) for b in batches] == [16, 16, 16, 16]
+    assert [b.n_real for b in batches] == [16, 16, 16, 5]
+    for b in batches[:-1]:   # full batches: uniform weights (one step shape)
+        np.testing.assert_allclose(np.asarray(b.w), 1.0 / 16)
+    tail_w = np.asarray(batches[-1].w)
+    np.testing.assert_allclose(tail_w[:5], 1.0 / 5)
+    np.testing.assert_array_equal(tail_w[5:], 0.0)
+    # pad rows are wrap-around repeats of the tail's real rows
+    tail_y = np.asarray(batches[-1].y)
+    np.testing.assert_array_equal(tail_y[5:10], tail_y[:5])
     # shuffling differs between epochs
     b0 = np.asarray(list(pipe.epoch(0))[0][0])
     b1 = np.asarray(list(pipe.epoch(1))[0][0])
@@ -41,12 +49,21 @@ def test_pipeline_multihost_path():
                              multihost=True)
     got_p = list(plain.epoch(0))
     got_m = list(multi.epoch(0))
-    # multihost drops the uneven trailing 8-row batch
-    assert len(got_p) == 3 and len(got_m) == 2
-    for (yp, cp), (ym, cm) in zip(got_p, got_m):
+    # the zero-weight tail padding keeps the trailing 8-row batch's split
+    # even, so multihost processes it too (nothing dropped)
+    assert len(got_p) == 3 and len(got_m) == 3
+    for (yp, cp, wp, np_r), (ym, cm, wm, nm_r) in zip(got_p, got_m):
         assert ym.sharding.is_equivalent_to(sh, ym.ndim)
+        assert np_r == nm_r
         np.testing.assert_array_equal(np.asarray(yp), np.asarray(ym))
         np.testing.assert_array_equal(np.asarray(cp), np.asarray(cm))
+        np.testing.assert_array_equal(np.asarray(wp), np.asarray(wm))
+    # tail: 8 real rows at weight 1/8, 8 zero-weight pads, on both paths
+    tail = got_m[-1]
+    assert tail.n_real == 8 and int(tail.y.shape[0]) == 16
+    tw = np.asarray(tail.w)
+    np.testing.assert_allclose(tw[:8], 1.0 / 8)
+    np.testing.assert_array_equal(tw[8:], 0.0)
 
 
 def test_streaming_train_epoch():
@@ -72,3 +89,35 @@ def test_streaming_train_epoch():
             first = elbo
     assert elbo > first
     assert int(state.step) == 4 * 3
+
+
+def test_pipeline_bf16_wire():
+    """wire_dtype='bfloat16' stages half-width batches; a train step on them
+    matches the f32-wire step to bf16 rounding (VERDICT r4 #1)."""
+    import jax
+
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=2, groupconv=4),
+        LikelihoodConfig()))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                         minibatch_size=16))
+    images = np.random.RandomState(0).rand(16, 12, 12, 1).astype(np.float32)
+    f32 = list(HostDataPipeline(images, batch_size=16, seed=0).epoch(0))
+    bf16 = list(HostDataPipeline(images, batch_size=16, seed=0,
+                                 wire_dtype="bfloat16").epoch(0))
+    assert f32[0].y.dtype == jnp.float32
+    assert bf16[0].y.dtype == jnp.bfloat16
+    # same rows, just rounded on the wire
+    np.testing.assert_allclose(
+        np.asarray(bf16[0].y, np.float32), np.asarray(f32[0].y),
+        rtol=8e-3, atol=4e-3)
+
+    state = trainer.init_state(0)
+    _, m_f = trainer._train_step(state, f32[0].y, None, f32[0].w)
+    state2 = trainer.init_state(0)
+    _, m_b = trainer._train_step(state2, bf16[0].y, None, bf16[0].w)
+    m_f, m_b = np.asarray(m_f), np.asarray(m_b)
+    assert np.all(np.isfinite(m_b)), m_b
+    np.testing.assert_allclose(m_b, m_f, rtol=0.05, atol=0.5)

@@ -57,13 +57,24 @@ def main() -> None:
                                          compute_dtype="bfloat16"))
     state = trainer.init_state(0)
 
-    # warm up / compile the shared step once
+    # warm up / compile the shared step once (with the pipeline's uniform
+    # row-weight operand so resident and streamed runs share ONE program)
     yb = jnp.asarray(y_host[:args.batch])
     cb = jnp.asarray(ctf_host[:args.batch])
+    wb = jnp.full((args.batch,), 1.0 / args.batch, jnp.float32)
     t0 = time.time()
-    state, m = trainer._train_step(state, yb, cb)
+    state, m = trainer._train_step(state, yb, cb, wb)
     jax.device_get(m)
     print(f"# compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warm the bf16-wire step too (separate program: y/ctf arrive bf16 and
+    # are upcast at the loss boundary — train/loop._loss_fn)
+    t0 = time.time()
+    state, m = trainer._train_step(state, yb.astype(jnp.bfloat16),
+                                   cb.astype(jnp.bfloat16), wb)
+    jax.device_get(m)
+    print(f"# bf16-wire compile+warmup {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     nb = args.n // args.batch
     n_used = nb * args.batch
@@ -72,23 +83,26 @@ def main() -> None:
     y_dev = jnp.asarray(y_host[:n_used]).reshape(nb, args.batch, n, n, c)
     ctf_dev = jnp.asarray(ctf_host[:n_used]).reshape(
         (nb, args.batch) + ctf_host.shape[1:])
-    for label in ("resident", "stream"):
+    for label in ("resident", "stream", "stream-bf16"):
         times = []
         for ep in range(args.epochs):
             t0 = time.time()
             if label == "resident":
                 for i in range(nb):
                     state, m = trainer._train_step(state, y_dev[i],
-                                                   ctf_dev[i])
+                                                   ctf_dev[i], wb)
             else:
-                pipe = HostDataPipeline(y_host[:n_used], ctf_host[:n_used],
-                                        batch_size=args.batch, seed=ep)
-                for yb, cb in pipe.epoch(ep):
-                    state, m = trainer._train_step(state, yb, cb)
+                pipe = HostDataPipeline(
+                    y_host[:n_used], ctf_host[:n_used],
+                    batch_size=args.batch, seed=ep,
+                    wire_dtype="bfloat16" if label == "stream-bf16"
+                    else None)
+                for yb2, cb2, wb2, _ in pipe.epoch(ep):
+                    state, m = trainer._train_step(state, yb2, cb2, wb2)
             jax.device_get(m)
             times.append(time.time() - t0)
         dt = min(times)
-        print(f"{label:9s} {n_used / dt:7.1f} images/sec "
+        print(f"{label:11s} {n_used / dt:7.1f} images/sec "
               f"({dt / nb * 1e3:.1f} ms/batch over {nb} batches, "
               f"best of {args.epochs})", flush=True)
 
