@@ -82,26 +82,31 @@ def load_baseline() -> float:
 
 def main():
     check_device_reachable()
-    results = {}
-    results["f32"] = measure_tpu(compute_dtype=None)
+    results = {}   # (mode, batch) -> img/s
+    results[("f32", 100)] = measure_tpu(compute_dtype=None)
     try:
-        results["bf16+pallas"] = measure_tpu(compute_dtype="bfloat16")
+        results[("bf16+pallas", 100)] = measure_tpu(compute_dtype="bfloat16")
+        # img/s/chip is the north-star metric and does NOT fix the batch
+        # size (BASELINE.json); B=256 measures a reproducible ~2% over
+        # B=100 with the round-5 kernels (round-5 batch-scaling sweep) —
+        # headline the best batch, keep the B=100 row for comparability
+        results[("bf16+pallas", 256)] = measure_tpu(batch=256,
+                                                    compute_dtype="bfloat16")
     except Exception as e:  # pragma: no cover - kernel path is TPU-only
         print(f"# bf16/pallas path failed: {e}", file=sys.stderr)
-    mode = max(results, key=results.get)
-    ips = results[mode]
+    mode, batch = max(results, key=results.get)
+    ips = results[(mode, batch)]
     baseline = load_baseline()
 
     # analytic per-step matmul FLOPs -> MFU (utils/flops.py)
     from targetvae_tpu.utils.flops import step_flops, mfu, V5E_BF16_PEAK
     from __graft_entry__ import _flagship_config
-    batch = 100
     fl = step_flops(_flagship_config(), batch)["total"]
     step_s = batch / ips
 
     out = {
         "metric": "images/sec/chip, MNIST-U P8 attention+offsets train step "
-                  f"(fwd+bwd+Adam, batch 100, TPU v5e, {mode})",
+                  f"(fwd+bwd+Adam, batch {batch}, TPU v5e, {mode})",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / baseline, 2) if baseline else None,
@@ -118,13 +123,19 @@ def main():
     print(json.dumps(out))
 
     # append to the machine-readable history feeding the BENCH_NOTES.md
-    # canonical table (regenerate with tools/update_bench_table.py)
+    # canonical table (record() re-splices the table in place)
     from targetvae_tpu.utils.bench_log import record
-    record({"config": "flagship", "batch": batch, "dtype": mode,
-            "ms_per_step": round(step_s * 1e3, 2),
-            "images_per_sec": round(ips, 1),
-            "tflops_per_step": round(fl / 1e12, 3),
-            "mfu": round(mfu(fl, step_s), 4)})
+    for (m, b), r in results.items():
+        if m != "bf16+pallas":
+            continue
+        f = step_flops(_flagship_config(), b)["total"]
+        s = b / r
+        record({"config": "flagship" if b == 100 else f"flagship-b{b}",
+                "batch": b, "dtype": m,
+                "ms_per_step": round(s * 1e3, 2),
+                "images_per_sec": round(r, 1),
+                "tflops_per_step": round(f / 1e12, 3),
+                "mfu": round(mfu(f, s), 4)})
 
 
 if __name__ == "__main__":
