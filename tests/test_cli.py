@@ -229,12 +229,18 @@ def test_train_cli_host_stream(tmp_path):
             "--encoder-padding", "2", "--generator-hidden-dim", "32",
             "--num-epochs", "2", "--minibatch-size", "24", "-d", "-1",
             "--host-stream"]
-    for extra, name in ([], "plain"), (["--dp", "2"], "dp2"):
+    # bf16wire also makes the epoch RAGGED (48 % 20 = tail 8): the CLI-level
+    # zero-weight tail padding + half-width wire in one pass
+    for extra, name in (([], "plain"), (["--dp", "2"], "dp2"),
+                        (["--stream-bf16", "--minibatch-size", "20"],
+                         "bf16wire")):
         log_root = str(tmp_path / f"logs_{name}")
         train_mnist.main(base + ["--log-root", log_root] + extra)
         run = os.path.join(log_root, os.listdir(log_root)[0])
         log = open(os.path.join(run, "train_log.txt")).read()
         assert "# host-streaming train data (48 images)" in log
+        if name == "bf16wire":
+            assert "(bf16 wire)" in log
         assert log.count("\ttrain\t") == 2
         for line in log.splitlines():
             if "\ttrain\t" in line:
