@@ -47,9 +47,12 @@ def main():
     mesh = global_mesh()                       # data=8 across both processes
 
     # deterministic dataset, identical on both hosts (as a shared filesystem
-    # would provide); each host gathers only its own rows
+    # would provide); each host gathers only its own rows. 40 rows at batch
+    # 16 leaves a ragged 8-row tail: multihost streaming must zero-weight
+    # pad it (NOT drop it — reference drop_last=False) with an even row
+    # split across the two processes
     rng = np.random.RandomState(0)
-    images = rng.rand(32, 12, 12, 1).astype(np.float32)
+    images = rng.rand(40, 12, 12, 1).astype(np.float32)
     pipe = HostDataPipeline(images, batch_size=16, seed=0,
                             sharding=batch_sharding(mesh), multihost=True)
 
@@ -67,14 +70,28 @@ def main():
 
     step = jax.jit(trainer._step_impl)
     n_steps = 0
+    n_reals = []
     for y, _, w, n_real in pipe.epoch(0):
-        assert n_real == 16                 # 32 rows split evenly: no tail
+        assert int(y.shape[0]) == 16        # fixed global batch, tail padded
+        # every process holds exactly its addressable half of the weights
+        w_local = np.concatenate(
+            [np.asarray(s.data).ravel() for s in w.addressable_shards])
+        assert w_local.shape == (8,), w_local.shape
+        if n_real == 8:                     # the padded tail batch
+            # global w = [1/8 x 8, 0 x 8]; this process owns a contiguous
+            # half of it (rows 0-7 or 8-15)
+            assert (np.allclose(w_local, 1.0 / 8)
+                    or np.allclose(w_local, 0.0)
+                    or (np.allclose(w_local[:4], 1.0 / 8)
+                        and np.allclose(w_local[4:], 0.0))), w_local
+        n_reals.append(n_real)
         state, metrics = step(state, y, None, w)
         n_steps += 1
     metrics = jax.device_get(metrics)
-    assert n_steps == 2, n_steps                   # 32 rows / batch 16
+    assert n_steps == 3, n_steps                   # 40 rows / batch 16
+    assert n_reals == [16, 16, 8], n_reals         # tail processed, not dropped
     assert np.all(np.isfinite(metrics)), metrics
-    assert int(jax.device_get(state.step)) == 2
+    assert int(jax.device_get(state.step)) == 3
 
     print(f"MP_OK pid={pid} steps={n_steps} elbo={float(metrics[0]):.4f}",
           flush=True)
