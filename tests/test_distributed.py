@@ -45,7 +45,7 @@ def test_two_process_distributed_dp_epoch():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert f"MP_OK pid={pid} steps=2" in out, out[-3000:]
+        assert f"MP_OK pid={pid} steps=3" in out, out[-3000:]
     # both processes computed the same replicated metrics
     elbo0 = [ln for ln in outs[0].splitlines() if "MP_OK" in ln][0].split("=")[-1]
     elbo1 = [ln for ln in outs[1].splitlines() if "MP_OK" in ln][0].split("=")[-1]
