@@ -202,9 +202,9 @@ def launch_training(args, model, train_cfg, run_name: str, y_train, y_test,
     to_dev = (lambda x: x) if stream else jnp.asarray   # streamed data stays
     try:                                                # in host RAM
         return fit(model, train_cfg, logger,
-                   to_dev(y_train), jnp.asarray(y_test),
+                   to_dev(y_train), to_dev(y_test),
                    ctf_train=None if ctf_train is None else to_dev(ctf_train),
-                   ctf_test=None if ctf_test is None else jnp.asarray(ctf_test),
+                   ctf_test=None if ctf_test is None else to_dev(ctf_test),
                    resume_dir=resume_dir, profile_dir=args.profile_dir)
     finally:
         logger.close()

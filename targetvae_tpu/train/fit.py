@@ -93,7 +93,7 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         state = shard_state(mesh, state)
         if not train_cfg.host_stream:
             y_train, ctf_train = shard_batch(mesh, y_train, ctf_train)
-        y_test, ctf_test = shard_batch(mesh, y_test, ctf_test)
+            y_test, ctf_test = shard_batch(mesh, y_test, ctf_test)
         logger.line(f"# mesh: data={train_cfg.dp} model={train_cfg.tp} "
                     f"({n_mesh} devices)")
         if (train_cfg.compute_dtype == "bfloat16" and not train_cfg.sp
@@ -103,26 +103,32 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
                         f"dp*tp={n_mesh}; the per-shard fused-kernel path "
                         f"is disabled (XLA tiers run instead)")
 
-    train_pipe = None
+    train_pipe = test_pipe = None
     if train_cfg.host_stream:
         # threaded host shuffle/gather/prefetch; batches land directly on
-        # the device (or sharded over the mesh) — the train set never
-        # resides in HBM as a whole
+        # the device (or sharded over the mesh) — neither split ever
+        # resides in HBM as a whole (the test set streams too: a dataset
+        # that outgrows HBM usually brings a test split that does as well)
         import numpy as np
         from ..data.pipeline import HostDataPipeline
         sharding = None
         if n_mesh > 1:
             from ..parallel.mesh import batch_sharding
             sharding = batch_sharding(mesh)
+        wire_dtype = "bfloat16" if train_cfg.stream_bf16 else None
         train_pipe = HostDataPipeline(
             np.asarray(y_train),
             None if ctf_train is None else np.asarray(ctf_train),
             batch_size=train_cfg.minibatch_size, seed=train_cfg.seed,
-            sharding=sharding,
-            wire_dtype="bfloat16" if train_cfg.stream_bf16 else None)
+            sharding=sharding, wire_dtype=wire_dtype)
+        test_pipe = HostDataPipeline(
+            np.asarray(y_test),
+            None if ctf_test is None else np.asarray(ctf_test),
+            batch_size=train_cfg.minibatch_size, seed=train_cfg.seed,
+            sharding=sharding, shuffle=False, wire_dtype=wire_dtype)
         wire = " (bf16 wire)" if train_cfg.stream_bf16 else ""
         logger.line(f"# host-streaming train data ({len(train_pipe)} "
-                    f"images){wire}")
+                    f"images; test {len(test_pipe)}){wire}")
 
     state_box = {"state": state}
     stopper.save_fn = lambda: save_model_pair(
@@ -156,8 +162,12 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
         logger.progress(f"# epoch {epoch + 1}: {dt:.2f}s, "
                         f"{n_train / dt:.0f} images/sec")
 
-        elbo_t, gen_loss_t, kl_t = trainer.eval_epoch(
-            state, y_test, ctf_test, seed=epoch)
+        if test_pipe is not None:
+            elbo_t, gen_loss_t, kl_t = trainer.eval_epoch_stream(
+                state, test_pipe.epoch(0), seed=epoch)
+        else:
+            elbo_t, gen_loss_t, kl_t = trainer.eval_epoch(
+                state, y_test, ctf_test, seed=epoch)
         logger.epoch(epoch + 1, "test", elbo_t, gen_loss_t, kl_t)
 
         if profile_dir and epoch == start_epoch + 1:

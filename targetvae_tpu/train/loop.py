@@ -471,6 +471,27 @@ class Trainer:
                 progress(seen, *_streaming_means(metrics, weights))
         return state, _weighted_mean(np.concatenate(metrics), weights)
 
+    def eval_epoch_stream(self, state: TrainState, batches, seed: int = 0,
+                          ) -> Tuple[float, float, float]:
+        """Evaluation over a host iterator of StreamBatch batches (see
+        data/pipeline.HostDataPipeline, shuffle=False) — the streaming
+        analog of eval_epoch for test splits that don't fit in HBM. Same
+        fixed-size/zero-weight-tail contract as train_epoch_stream: one
+        compiled eval step serves the whole pass."""
+        key = jax.random.key(seed)
+        metrics = []
+        weights = []
+        for i, b in enumerate(batches):
+            if len(b) == 2:
+                y, ctf = b
+                w, n_real = None, int(y.shape[0])
+            else:
+                y, ctf, w, n_real = b
+            m = self._eval_step(state, y, jax.random.fold_in(key, i), ctf, w)
+            metrics.append(np.asarray(m)[None])
+            weights.append(float(n_real))
+        return _weighted_mean(np.concatenate(metrics), weights)
+
     def eval_epoch(self, state: TrainState, data: jnp.ndarray,
                    ctf: Optional[jnp.ndarray] = None, seed: int = 0,
                    ) -> Tuple[float, float, float]:

@@ -238,7 +238,7 @@ def test_train_cli_host_stream(tmp_path):
         train_mnist.main(base + ["--log-root", log_root] + extra)
         run = os.path.join(log_root, os.listdir(log_root)[0])
         log = open(os.path.join(run, "train_log.txt")).read()
-        assert "# host-streaming train data (48 images)" in log
+        assert "# host-streaming train data (48 images; test 24)" in log
         if name == "bf16wire":
             assert "(bf16 wire)" in log
         assert log.count("\ttrain\t") == 2

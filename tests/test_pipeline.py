@@ -121,3 +121,28 @@ def test_pipeline_bf16_wire():
     m_f, m_b = np.asarray(m_f), np.asarray(m_b)
     assert np.all(np.isfinite(m_b)), m_b
     np.testing.assert_allclose(m_b, m_f, rtol=0.05, atol=0.5)
+
+
+def test_streaming_eval_epoch():
+    """eval_epoch_stream (shuffle=False pipeline) agrees with the
+    device-resident eval_epoch on a ragged dataset — same data, same
+    weighted drop_last=False metrics, sampling keys drawn per-batch."""
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=2, groupconv=4),
+        LikelihoodConfig()))
+    trainer = Trainer(model, TrainConfig(learning_rate=1e-3,
+                                         minibatch_size=16))
+    state = trainer.init_state(0)
+    images = np.random.RandomState(3).rand(53, 12, 12, 1).astype(np.float32)
+
+    resident = trainer.eval_epoch(state, jnp.asarray(images), seed=0)
+    pipe = HostDataPipeline(images, batch_size=16, seed=0, shuffle=False)
+    streamed = trainer.eval_epoch_stream(state, pipe.epoch(0), seed=0)
+
+    assert all(np.isfinite(streamed)), streamed
+    # identical data/weights; only the per-batch sample keys differ, so the
+    # two ELBO estimates agree to sampling noise
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(resident),
+                               rtol=0.1, atol=1.0)
