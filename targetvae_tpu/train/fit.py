@@ -104,6 +104,9 @@ def fit(model: TargetVAE, train_cfg: TrainConfig, logger: RunLogger,
                         f"is disabled (XLA tiers run instead)")
 
     train_pipe = test_pipe = None
+    if train_cfg.stream_bf16 and not train_cfg.host_stream:
+        logger.line("# note: --stream-bf16 only affects --host-stream runs; "
+                    "ignored (data is device-resident)")
     if train_cfg.host_stream:
         # threaded host shuffle/gather/prefetch; batches land directly on
         # the device (or sharded over the mesh) — neither split ever
