@@ -146,3 +146,42 @@ def test_streaming_eval_epoch():
     # two ELBO estimates agree to sampling noise
     np.testing.assert_allclose(np.asarray(streamed), np.asarray(resident),
                                rtol=0.1, atol=1.0)
+
+
+def test_pipeline_bf16_wire_on_mesh_multihost():
+    """bf16 wire composed with a mesh sharding and the multihost assembly
+    path: batches arrive bf16 and sharded, equal to the single-process
+    device_put path, and a sharded train step consumes them."""
+    import jax
+    from targetvae_tpu.parallel import make_mesh
+    from targetvae_tpu.parallel.mesh import batch_sharding
+    from targetvae_tpu.parallel.pjit import shard_state
+
+    images = np.random.RandomState(0).rand(40, 12, 12, 1).astype(np.float32)
+    mesh = make_mesh(data=8, model=1)
+    sh = batch_sharding(mesh)
+    plain = HostDataPipeline(images, batch_size=16, seed=3, sharding=sh,
+                             multihost=False, wire_dtype="bfloat16")
+    multi = HostDataPipeline(images, batch_size=16, seed=3, sharding=sh,
+                             multihost=True, wire_dtype="bfloat16")
+    got_p, got_m = list(plain.epoch(0)), list(multi.epoch(0))
+    assert len(got_p) == len(got_m) == 3
+    for bp, bm in zip(got_p, got_m):
+        assert bp.y.dtype == jnp.bfloat16 and bm.y.dtype == jnp.bfloat16
+        assert bm.y.sharding.is_equivalent_to(sh, bm.y.ndim)
+        np.testing.assert_array_equal(
+            np.asarray(bp.y, np.float32), np.asarray(bm.y, np.float32))
+        np.testing.assert_array_equal(np.asarray(bp.w), np.asarray(bm.w))
+
+    model = TargetVAE(ModelConfig(
+        GeneratorConfig(z_dim=2, hidden_dim=32),
+        EncoderConfig(image_dim=12, z_dim=2, kernels_num=16, kernels_size=7,
+                      padding=2, groupconv=4),
+        LikelihoodConfig()))
+    tr = Trainer(model, TrainConfig(learning_rate=1e-3, minibatch_size=16,
+                                    dp=8))
+    tr.attach_mesh(mesh)
+    state = shard_state(mesh, tr.init_state(0))
+    state, m = tr.train_epoch_stream(state, multi.epoch(0))
+    assert all(np.isfinite(np.asarray(m))), m
+    assert int(jax.device_get(state.step)) == 3
