@@ -131,6 +131,13 @@ class HostDataPipeline:
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         local_rows = self._local_rows(self.batch)
         w_sharding = self._weight_sharding()
+        if local_rows is not None and w_sharding is None:
+            # fail at epoch start with a clear message, not inside
+            # make_array_from_process_local_data on the first batch
+            raise ValueError(
+                "multihost streaming requires a NamedSharding (needed to "
+                f"derive the weight vector's 1-D sharding), got "
+                f"{type(self.sharding).__name__}")
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

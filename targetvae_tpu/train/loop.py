@@ -458,11 +458,7 @@ class Trainer:
         weights = []
         seen = 0
         for b in batches:
-            if len(b) == 2:          # bare (y, ctf) pair
-                y, ctf = b
-                w, n_real = None, int(y.shape[0])
-            else:
-                y, ctf, w, n_real = b
+            y, ctf, w, n_real = _unpack_stream_batch(b)
             state, m = self._train_step(state, y, ctf, w)
             metrics.append(np.asarray(m)[None])
             weights.append(float(n_real))
@@ -482,11 +478,7 @@ class Trainer:
         metrics = []
         weights = []
         for i, b in enumerate(batches):
-            if len(b) == 2:
-                y, ctf = b
-                w, n_real = None, int(y.shape[0])
-            else:
-                y, ctf, w, n_real = b
+            y, ctf, w, n_real = _unpack_stream_batch(b)
             m = self._eval_step(state, y, jax.random.fold_in(key, i), ctf, w)
             metrics.append(np.asarray(m)[None])
             weights.append(float(n_real))
@@ -515,6 +507,16 @@ class Trainer:
             metrics.append(np.asarray(m)[None])
             weights.append(float(rem))
         return _weighted_mean(np.concatenate(metrics), weights)
+
+
+def _unpack_stream_batch(b) -> Tuple:
+    """(y, ctf, w, n_real) from a StreamBatch (data/pipeline) or a bare
+    (y, ctf) pair — the one place the streamed-batch contract is decoded."""
+    if len(b) == 2:
+        y, ctf = b
+        return y, ctf, None, int(y.shape[0])
+    y, ctf, w, n_real = b
+    return y, ctf, w, int(n_real)
 
 
 def _weighted_mean(metrics: np.ndarray, weights) -> Tuple[float, float, float]:

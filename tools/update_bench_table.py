@@ -16,7 +16,9 @@ from targetvae_tpu.utils.bench_log import latest_per_config, update_notes_table
 def main():
     if not latest_per_config():
         raise SystemExit("bench_results.jsonl is empty — run a bench first")
-    if update_notes_table():
+    # strict: the manual tool must report a broken setup (missing markers,
+    # corrupt history) loudly, unlike record()'s never-fail auto-splice
+    if update_notes_table(strict=True):
         print("BENCH_NOTES.md canonical table regenerated")
     else:
         print("BENCH_NOTES.md canonical table already up to date")
