@@ -46,9 +46,12 @@ def draw_shape(cls: int, rng) -> np.ndarray:
     return s * 255.0
 
 
-def make_split(n, k_classes, image_dim, max_shift, rng):
+def make_split(n, k_classes, image_dim, max_shift, rng, theta_sigma=None):
     labels = rng.randint(0, k_classes, n)
-    thetas = rng.uniform(-np.pi, np.pi, n)
+    if theta_sigma is None:            # MNIST-U convention: uniform rotations
+        thetas = rng.uniform(-np.pi, np.pi, n)
+    else:                              # MNIST-N convention: theta ~ N(0, s)
+        thetas = rng.normal(0.0, theta_sigma, n)
     shifts = rng.uniform(-max_shift, max_shift, (n, 2))
     images = np.zeros((n, image_dim, image_dim), np.uint8)
     plain = np.zeros((n, image_dim, image_dim), np.uint8)
@@ -75,14 +78,23 @@ def main(argv=None):
     ap.add_argument("--image-dim", type=int, default=50)
     ap.add_argument("--max-shift", type=float, default=8.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dataset", choices=["mnist-U", "mnist-N"],
+                    default="mnist-U",
+                    help="mnist-N draws rotations from N(0, pi/4) — the "
+                         "dataset the reference's Normal rotation prior "
+                         "targets (train_mnist.py:538-543) — and writes "
+                         "the mnist_N/ layout")
     args = ap.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
-    out = os.path.join(args.out_root, "mnist_U")
+    sub = "mnist_N" if args.dataset == "mnist-N" else "mnist_U"
+    theta_sigma = np.pi / 4 if args.dataset == "mnist-N" else None
+    out = os.path.join(args.out_root, sub)
     os.makedirs(out, exist_ok=True)
     for split, n in [("train", args.n_train), ("test", args.n_test)]:
         images, plain, transforms, labels = make_split(
-            n, args.classes, args.image_dim, args.max_shift, rng)
+            n, args.classes, args.image_dim, args.max_shift, rng,
+            theta_sigma=theta_sigma)
         np.save(os.path.join(out, f"images_{split}.npy"), images)
         np.save(os.path.join(out, f"transforms_{split}.npy"), transforms)
         np.save(os.path.join(out, f"labels_{split}.npy"), labels)
