@@ -112,15 +112,15 @@ def test_encoder_mode_b_parity(groupconv):
 
 
 @requires_reference
-@pytest.mark.parametrize("rot_refinement,normal_prior", [(True, True),
-                                                         (True, False),
-                                                         (False, False)])
-def test_encoder_mode_c_parity(rot_refinement, normal_prior):
+@pytest.mark.parametrize("rot_refinement,normal_prior,R",
+                         [(True, True, 4), (True, False, 4),
+                          (False, False, 4), (True, False, 16)])
+def test_encoder_mode_c_parity(rot_refinement, normal_prior, R):
     torch = pytest.importorskip("torch")
     ref_models = import_reference_models()
 
     torch.manual_seed(0)
-    d, zd, kn, R, ks, pad = 12, 2, 16, 4, 8, 3
+    d, zd, kn, ks, pad = 12, 2, 16, 8, 3
     r_inf = "attention+offsets" if rot_refinement else "attention"
     enc_t = ref_models.InferenceNetwork_AttentionTranslation_AttentionRotation(
         d, 1, zd, kernels_num=kn, kernels_size=ks, padding=pad, groupconv=R,
