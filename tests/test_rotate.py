@@ -8,7 +8,8 @@ from targetvae_tpu.ops.rotate import rotation_tables, rotate_filter_bank
 from tests.conftest import requires_reference
 
 
-@pytest.mark.parametrize("k,R", [(5, 4), (11, 8), (28, 8), (16, 16)])
+@pytest.mark.parametrize("k,R", [(5, 4), (11, 8), (28, 8), (16, 16),
+                                 (28, 16)])
 def test_rotation_matches_grid_sample(k, R):
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
