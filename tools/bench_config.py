@@ -35,6 +35,12 @@ def build(name: str):
     if name == "mnist":
         from __graft_entry__ import _flagship_config
         return _flagship_config(), 50, 1, None
+    if name == "mnist-p16":
+        # the finest rotation grid the reference exposes (--groupconv 16,
+        # src/models.py:366): a 16x51x51 = 41.6k-cell joint posterior at the
+        # flagship shape (QUALITY.md round-5 P16 rows train this config)
+        from __graft_entry__ import _flagship_config
+        return _flagship_config(groupconv=16), 50, 1, None
     if name == "mnist-a":
         # mode A (unimodal x unimodal): the reference's simplest inference
         # family — one MLP over the flattened image emitting all latents
@@ -129,9 +135,10 @@ def build(name: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["mnist", "mnist-a", "mnist-b",
-                                       "mnist-b-p8", "dsprites", "galaxy",
-                                       "particles", "particles-ctf"])
+    ap.add_argument("config", choices=["mnist", "mnist-p16", "mnist-a",
+                                       "mnist-b", "mnist-b-p8", "dsprites",
+                                       "galaxy", "particles",
+                                       "particles-ctf"])
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--f32", action="store_true")
@@ -142,9 +149,10 @@ def main():
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg, n, c, ctf = build(args.config)
-    batch = args.batch or {"mnist": 100, "mnist-a": 100, "mnist-b": 100,
-                           "mnist-b-p8": 100, "dsprites": 50, "galaxy": 50,
-                           "particles": 50, "particles-ctf": 50}[args.config]
+    batch = args.batch or {"mnist": 100, "mnist-p16": 100, "mnist-a": 100,
+                           "mnist-b": 100, "mnist-b-p8": 100, "dsprites": 50,
+                           "galaxy": 50, "particles": 50,
+                           "particles-ctf": 50}[args.config]
     ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     dtype = None if args.f32 else "bfloat16"
     model = TargetVAE(cfg)
