@@ -140,8 +140,19 @@ class HostDataPipeline:
                 f"{type(self.sharding).__name__}")
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        worker_err = []
 
-        def put(batch_np, ctf_np, w_np, n_real):
+        def put(item):
+            # bounded-wait put so a closed consumer (stop set, queue full)
+            # can never leave the worker thread blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        def stage(batch_np, ctf_np, w_np, n_real):
             if local_rows is None:
                 y = jax.device_put(batch_np, self.sharding)
                 c = None if ctf_np is None else jax.device_put(ctf_np,
@@ -155,7 +166,7 @@ class HostDataPipeline:
                     self.sharding, ctf_np, (self.batch,) + ctf_np.shape[1:])
                 w = None if w_np is None else mk(w_sharding, w_np,
                                                  (self.batch,))
-            q.put(StreamBatch(y, c, w, n_real))
+            put(StreamBatch(y, c, w, n_real))
 
         def worker():
             try:
@@ -183,9 +194,11 @@ class HostDataPipeline:
                         batch_np = batch_np.astype(self.wire_dtype)
                         if ctf_np is not None:
                             ctf_np = ctf_np.astype(self.wire_dtype)
-                    put(batch_np, ctf_np, w_np, rem)
+                    stage(batch_np, ctf_np, w_np, rem)
+            except BaseException as e:   # surfaced to the consumer: a crash
+                worker_err.append(e)     # must not look like a short epoch
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -193,6 +206,10 @@ class HostDataPipeline:
             while True:
                 item = q.get()
                 if item is None:
+                    if worker_err:
+                        raise RuntimeError(
+                            "HostDataPipeline worker failed mid-epoch"
+                        ) from worker_err[0]
                     break
                 yield item
         finally:

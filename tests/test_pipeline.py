@@ -185,3 +185,25 @@ def test_pipeline_bf16_wire_on_mesh_multihost():
     state, m = tr.train_epoch_stream(state, multi.epoch(0))
     assert all(np.isfinite(np.asarray(m))), m
     assert int(jax.device_get(state.step)) == 3
+
+
+def test_pipeline_worker_error_surfaces(monkeypatch):
+    """A worker-thread failure must raise in the consumer, not truncate the
+    epoch silently (silent truncation = quiet data loss)."""
+    import pytest
+    import targetvae_tpu.data.native as native
+
+    images = np.random.RandomState(0).rand(48, 8, 8, 1).astype(np.float32)
+    pipe = HostDataPipeline(images, batch_size=16, seed=0)
+    calls = {"n": 0}
+    orig = native.gather_f32
+
+    def flaky(arr, idx):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("disk went away")
+        return orig(arr, idx)
+
+    monkeypatch.setattr(native, "gather_f32", flaky)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(pipe.epoch(0))
