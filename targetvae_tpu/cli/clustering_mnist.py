@@ -38,15 +38,6 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["unimodal", "attention"])
     parser.add_argument("--r-inf", default="attention+offsets",
                         choices=["unimodal", "attention", "attention+offsets"])
-    parser.add_argument("--frame-correction",
-                        choices=["per-image", "mean"], default="per-image",
-                        help="reference-frame correction for the rotation "
-                             "correlation: 'per-image' subtracts each plain "
-                             "image's predicted pose (reference "
-                             "clustering_mnist.py:331-354); 'mean' subtracts "
-                             "one global circular-mean frame offset — use "
-                             "for fine rotation grids (P16) where the "
-                             "per-image plain prediction is bin-unstable")
     parser.add_argument("--clustering", default="k-means",
                         choices=["agglomerative", "k-means"],
                         help="agglomerative | k-means (default:k-means)")
@@ -101,17 +92,10 @@ def main(argv=None):
         y_plain = load_mnist("mnist", args.image_dim, args.data_root, "test")
         _, rot_plain, tr_plain = embed_dataset(model, params, y_plain,
                                                args.minibatch_size)
-        if args.frame_correction == "mean":
-            # one GLOBAL frame offset (circular mean of the plain-canvas
-            # predictions) instead of the reference's per-image subtraction.
-            # Robust for fine rotation grids: at P16 the per-image plain
-            # prediction mode-hops between 22.5-degree bins (measured
-            # std 1.75 rad on identical-class canvases) and the per-image
-            # "correction" subtracts that noise (QUALITY.md round-5 P16
-            # finding); translations keep the per-image correction (no
-            # analogous instability).
-            rot_plain = np.full_like(
-                rot_plain, np.angle(np.exp(1j * rot_plain).mean()))
+        # NOTE: this per-image correction assumes mnist_{split}.npy holds
+        # the SAME instances (index-aligned) as the transformed images, as
+        # real MNIST-U/N and tools/make_synthetic_shapes.py both guarantee
+        # — mismatched canvases silently destroy the pose correlations.
         rot_corr, tr_corr = measure_correlations(
             transforms_path, rot_pred - rot_plain, tr_pred - tr_plain)
 

@@ -1,10 +1,19 @@
 #!/usr/bin/env python
-"""Synthetic shapes dataset in the MNIST-U layout, for end-to-end quality
-validation without external data: K distinct shape classes drawn on a 28x28
-stamp, rotated/translated onto an image_dim canvas with recorded ground-truth
-poses. Writes images_{train,test}.npy, transforms_{split}.npy,
-labels_{split}.npy under <out-root>/mnist_U/, plus the untransformed
+"""Synthetic shapes dataset in the MNIST-U or MNIST-N layout, for end-to-end
+quality validation without external data: K distinct shape classes drawn on a
+28x28 stamp, rotated/translated onto an image_dim canvas with recorded
+ground-truth poses. Writes images_{train,test}.npy, transforms_{split}.npy,
+labels_{split}.npy under <out-root>/mnist_U/ (or mnist_N/ with
+--dataset mnist-N, which draws theta ~ N(0, pi/4)), plus the untransformed
 mnist_{split}.npy canvases used by the clustering reference-frame pass.
+
+Theta draws come from a SEPARATE RNG stream so that mnist-U and mnist-N
+generations at the same seed produce byte-identical instances (labels,
+dilation, shifts) and therefore byte-identical plain canvases — mirroring
+how the real MNIST variants share one plain MNIST. Without this, generating
+the second variant would silently overwrite the shared mnist_{split}.npy
+with canvases that no longer index-align with the first variant's images,
+corrupting the clustering CLI's per-image reference-frame correction.
 """
 
 from __future__ import annotations
@@ -46,12 +55,13 @@ def draw_shape(cls: int, rng) -> np.ndarray:
     return s * 255.0
 
 
-def make_split(n, k_classes, image_dim, max_shift, rng, theta_sigma=None):
+def make_split(n, k_classes, image_dim, max_shift, rng, theta_rng,
+               theta_sigma=None):
     labels = rng.randint(0, k_classes, n)
     if theta_sigma is None:            # MNIST-U convention: uniform rotations
-        thetas = rng.uniform(-np.pi, np.pi, n)
+        thetas = theta_rng.uniform(-np.pi, np.pi, n)
     else:                              # MNIST-N convention: theta ~ N(0, s)
-        thetas = rng.normal(0.0, theta_sigma, n)
+        thetas = theta_rng.normal(0.0, theta_sigma, n)
     shifts = rng.uniform(-max_shift, max_shift, (n, 2))
     images = np.zeros((n, image_dim, image_dim), np.uint8)
     plain = np.zeros((n, image_dim, image_dim), np.uint8)
@@ -87,13 +97,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     rng = np.random.RandomState(args.seed)
+    theta_rng = np.random.RandomState(args.seed + 100003)
     sub = "mnist_N" if args.dataset == "mnist-N" else "mnist_U"
     theta_sigma = np.pi / 4 if args.dataset == "mnist-N" else None
     out = os.path.join(args.out_root, sub)
     os.makedirs(out, exist_ok=True)
     for split, n in [("train", args.n_train), ("test", args.n_test)]:
         images, plain, transforms, labels = make_split(
-            n, args.classes, args.image_dim, args.max_shift, rng,
+            n, args.classes, args.image_dim, args.max_shift, rng, theta_rng,
             theta_sigma=theta_sigma)
         np.save(os.path.join(out, f"images_{split}.npy"), images)
         np.save(os.path.join(out, f"transforms_{split}.npy"), transforms)
