@@ -246,6 +246,13 @@ def test_train_cli_host_stream(tmp_path):
             if "\ttrain\t" in line:
                 vals = [float(v) for v in line.split("\t")[2:]]
                 assert all(np.isfinite(vals)), line
+        if name == "plain":
+            # resume continues a streamed run (the pipeline's shuffle is
+            # seed+epoch-deterministic, so epoch 3 draws the right order)
+            train_mnist.main(base + ["--log-root", log_root,
+                                     "--resume", run, "--num-epochs", "3"])
+            log = open(os.path.join(run, "train_log.txt")).read()
+            assert log.count("\ttrain\t") == 3
 
 
 def test_train_particles_downsample(tmp_path):
