@@ -289,3 +289,40 @@ def test_train_particles_downsample(tmp_path):
         "--path-to-encoder", os.path.join(run, "inference.sav"),
         "--n-clusters", "3", "-d", "-1"])
     assert os.path.exists(os.path.join(run, "cluster_assignments.npy"))
+
+
+def test_embed_stack_tool(tmp_path):
+    """tools/embed_stack.py: MRC stack -> latent/pose npys through a trained
+    checkpoint (the standalone serving path, no clustering)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "embed_stack", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "embed_stack.py"))
+    embed_stack = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(embed_stack)
+
+    d = 14
+    stack = np.random.RandomState(0).randn(40, d, d).astype(np.float32)
+    mrc.write(str(tmp_path / "stack.mrcs"), stack)
+
+    log_root = str(tmp_path / "logs")
+    train_particles.main(["--train-path", str(tmp_path / "stack.mrcs"),
+                          "--train-portion", "0.75",
+                          "--log-root", log_root, "--num-epochs", "1"]
+                         + COMMON[:-4] + ["-d", "-1",
+                                          "--minibatch-size", "20"])
+    run = os.path.join(log_root, os.listdir(log_root)[0])
+
+    out = str(tmp_path / "latents" / "run1")
+    embed_stack.main(["--input", str(tmp_path / "stack.mrcs"),
+                      "--path-to-encoder", os.path.join(run, "inference.sav"),
+                      "--out", out, "--normalize",
+                      "--compute-dtype", "float32",
+                      "--minibatch-size", "16", "-d", "-1"])
+    z = np.load(out + "_z.npy")
+    rot = np.load(out + "_rot.npy")
+    tr = np.load(out + "_trans.npy")
+    assert z.shape == (40, 4) and rot.shape == (40, 1) and tr.shape == (40, 2)
+    assert np.isfinite(z).all() and np.isfinite(rot).all() \
+        and np.isfinite(tr).all()
