@@ -45,7 +45,9 @@ def main() -> None:
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg, n, c, ctf = build(args.config)
-    batch = args.batch or {"mnist": 100, "dsprites": 50, "galaxy": 50,
+    batch = args.batch or {"mnist": 100, "mnist-p16": 100,
+                           "mnist-a": 100, "mnist-b": 100,
+                           "mnist-b-p8": 100, "dsprites": 50, "galaxy": 50,
                            "particles": 50, "particles-ctf": 50}[args.config]
     ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     model = TargetVAE(cfg)
