@@ -149,10 +149,11 @@ def main():
     from targetvae_tpu.utils.config import TrainConfig
 
     cfg, n, c, ctf = build(args.config)
-    batch = args.batch or {"mnist": 100, "mnist-p16": 100, "mnist-a": 100,
-                           "mnist-b": 100, "mnist-b-p8": 100, "dsprites": 50,
-                           "galaxy": 50, "particles": 50,
-                           "particles-ctf": 50}[args.config]
+    default_batch = {"mnist": 100, "mnist-p16": 100, "mnist-a": 100,
+                     "mnist-b": 100, "mnist-b-p8": 100, "dsprites": 50,
+                     "galaxy": 50, "particles": 50,
+                     "particles-ctf": 50}[args.config]
+    batch = args.batch or default_batch
     ctf_b = None if ctf is None else jax.numpy.asarray(ctf[:batch])
     dtype = None if args.f32 else "bfloat16"
     model = TargetVAE(cfg)
@@ -183,8 +184,13 @@ def main():
           + ", ".join(f"{k}={v / 1e12:.2f}T" for k, v in top),
           file=sys.stderr)
     import json
+    # non-default batches record under a distinct "-b{N}" history key (the
+    # flagship-b256 pattern) so sweeps never clobber the canonical
+    # default-batch row of the table
+    config_key = (args.config if batch == default_batch
+                  else f"{args.config}-b{batch}")
     result = {
-        "config": args.config, "batch": batch,
+        "config": config_key, "batch": batch,
         "dtype": dtype or "f32", "ms_per_step": round(dt * 1e3, 2),
         "images_per_sec": round(batch / dt, 1),
         "tflops_per_step": round(fl["total"] / 1e12, 3),
